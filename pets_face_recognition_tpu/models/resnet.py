@@ -1,0 +1,159 @@
+"""ResNet backbones (flax.linen, NHWC).
+
+The production feature extractor of the reference is torchvision ``resnet50`` with its
+``fc`` swapped for ``Linear(2048, 512)`` (``configs/cat_fe/cat_fe_head.py:101-102``),
+and the detection backbone is ResNet-50 + FPN (``configs/mask/mask_rcnn_config.py:60-79``).
+
+This implementation is layout- and naming-compatible with torchvision's ResNet so the
+reference's pretrained/checkpointed weights can be converted tensor-for-tensor
+(see ``utils/torch_convert.py``): same stage widths, stride placement (stride on the
+3×3 conv of each bottleneck, torchvision v1.5+ convention), and BatchNorm epsilon.
+
+TPU-first choices: NHWC layout (lane dim = channels), optional bfloat16 compute dtype
+with float32 params/stats, and a ``features_only`` mode returning the C2..C5 pyramid
+for FPN consumption.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+
+class Bottleneck(nn.Module):
+    """1x1 → 3x3(stride) → 1x1 bottleneck with identity/projection shortcut."""
+
+    features: int  # bottleneck width; output is 4x this
+    stride: int = 1
+    dtype: Any = jnp.float32
+    norm: ModuleDef = nn.BatchNorm
+
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        out_ch = self.features * self.expansion
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+
+        y = conv(self.features, (1, 1), name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                 padding=[(1, 1), (1, 1)], name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = conv(out_ch, (1, 1), name="conv3")(y)
+        y = self.norm(name="bn3")(y)
+
+        if residual.shape[-1] != out_ch or self.stride != 1:
+            residual = conv(out_ch, (1, 1), strides=(self.stride, self.stride),
+                            name="downsample_conv")(x)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class BasicBlock(nn.Module):
+    """3x3 → 3x3 block (ResNet-18/34)."""
+
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+    norm: ModuleDef = nn.BatchNorm
+
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        y = conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                 padding=[(1, 1), (1, 1)], name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.features, (3, 3), padding=[(1, 1), (1, 1)], name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        if residual.shape[-1] != self.features or self.stride != 1:
+            residual = conv(self.features, (1, 1),
+                            strides=(self.stride, self.stride),
+                            name="downsample_conv")(x)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """torchvision-compatible ResNet.
+
+    Args:
+      stage_sizes: blocks per stage, e.g. (3, 4, 6, 3) for ResNet-50.
+      block: Bottleneck or BasicBlock.
+      num_classes: size of the final dense layer; 0 disables the head.
+      features_only: return dict of {'c2','c3','c4','c5'} pyramid features.
+      frozen_stats: BatchNorm always uses running stats (torchvision detection's
+        FrozenBatchNorm2d behavior, /root/reference/models/detection/rcnn.py:7,22).
+    """
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    block: Callable = Bottleneck
+    num_classes: int = 0
+    dtype: Any = jnp.float32
+    features_only: bool = False
+    frozen_stats: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        use_ra = (not train) or self.frozen_stats
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=use_ra,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+        )
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = norm(name="bn1")(x)
+        x = nn.relu(x)
+        # torch MaxPool2d(3, stride=2, padding=1)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        feats = {}
+        widths = (64, 128, 256, 512)
+        for stage, (n_blocks, width) in enumerate(zip(self.stage_sizes, widths)):
+            for i in range(n_blocks):
+                stride = 2 if (i == 0 and stage > 0) else 1
+                x = self.block(
+                    width, stride=stride, dtype=self.dtype, norm=norm,
+                    name=f"layer{stage + 1}_{i}",
+                )(x)
+            feats[f"c{stage + 2}"] = x
+
+        if self.features_only:
+            return feats
+
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        if self.num_classes:
+            x = nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(
+                x.astype(jnp.float32)
+            )
+        return x
+
+
+def resnet50(num_classes: int = 0, **kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), block=Bottleneck,
+                  num_classes=num_classes, **kw)
+
+
+def resnet34(num_classes: int = 0, **kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), block=BasicBlock,
+                  num_classes=num_classes, **kw)
+
+
+def resnet18(num_classes: int = 0, **kw) -> ResNet:
+    return ResNet(stage_sizes=(2, 2, 2, 2), block=BasicBlock,
+                  num_classes=num_classes, **kw)

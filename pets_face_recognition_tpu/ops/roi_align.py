@@ -1,0 +1,115 @@
+"""RoIAlign (bilinear region pooling) — NHWC, static-shape.
+
+Replaces torchvision's C++/CUDA ``roi_align`` used by every reference R-CNN RoI head
+(SURVEY.md §2.10). Numerics follow torchvision's kernel exactly (half-open bilinear
+with the ``<= -1 / >= size`` zero-padding rule and the ``aligned`` half-pixel option),
+so converted checkpoints reproduce reference detections.
+
+TPU design notes:
+- features are NHWC (channel-last = lane dimension);
+- every RoI produces a fixed ``(oh, ow)`` grid with a fixed ``sampling_ratio``, so the
+  whole op is one big XLA gather + mean — no per-RoI control flow;
+- invalid/padding RoIs are fine: they just sample garbage that callers mask out.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _bilinear_gather(features: jnp.ndarray, batch_idx, y, x):
+    """Sample ``features (B,H,W,C)`` at float coords ``y, x`` (any shape ``S``).
+
+    Returns ``(*S, C)``. Out-of-range coords (torchvision rule: ``y <= -1`` or
+    ``y >= H``) contribute zero.
+    """
+    B, H, W, C = features.shape
+    oob = (y <= -1.0) | (y >= H) | (x <= -1.0) | (x >= W)
+    y = jnp.clip(y, 0.0, None)
+    x = jnp.clip(x, 0.0, None)
+
+    y_low = jnp.floor(y).astype(jnp.int32)
+    x_low = jnp.floor(x).astype(jnp.int32)
+    # torchvision: at the top edge collapse to the last row and zero fractional part.
+    y_edge = y_low >= H - 1
+    x_edge = x_low >= W - 1
+    y_low = jnp.where(y_edge, H - 1, y_low)
+    x_low = jnp.where(x_edge, W - 1, x_low)
+    y_high = jnp.where(y_edge, H - 1, y_low + 1)
+    x_high = jnp.where(x_edge, W - 1, x_low + 1)
+    ly = jnp.where(y_edge, 0.0, y - y_low.astype(y.dtype))
+    lx = jnp.where(x_edge, 0.0, x - x_low.astype(x.dtype))
+    hy, hx = 1.0 - ly, 1.0 - lx
+
+    flat = features.reshape(B * H * W, C)
+
+    def take(yy, xx):
+        idx = (batch_idx * H + yy) * W + xx
+        return flat[idx.reshape(-1)].reshape(*idx.shape, C)
+
+    val = (
+        take(y_low, x_low) * (hy * hx)[..., None]
+        + take(y_low, x_high) * (hy * lx)[..., None]
+        + take(y_high, x_low) * (ly * hx)[..., None]
+        + take(y_high, x_high) * (ly * lx)[..., None]
+    )
+    return jnp.where(oob[..., None], 0.0, val)
+
+
+def roi_align(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    roi_batch_idx: jnp.ndarray,
+    output_size: tuple[int, int],
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+    aligned: bool = False,
+) -> jnp.ndarray:
+    """RoIAlign over NHWC features.
+
+    Args:
+      features: ``(B, H, W, C)``.
+      rois: ``(K, 4)`` xyxy boxes in *image* coordinates.
+      roi_batch_idx: ``(K,)`` int32 image index per RoI.
+      output_size: ``(oh, ow)`` pooled grid.
+      spatial_scale: feature-stride reciprocal (e.g. 1/16).
+      sampling_ratio: samples per output-cell side (torchvision detection uses 2; if
+        <= 0 torchvision derives it from the roi size — unsupported here, pass it).
+      aligned: subtract 0.5 after scaling (torchvision ``aligned=True`` convention).
+
+    Returns:
+      ``(K, oh, ow, C)`` pooled features, float32.
+    """
+    assert sampling_ratio >= 1, "static shapes require an explicit sampling_ratio"
+    oh, ow = output_size
+    s = sampling_ratio
+    offset = 0.5 if aligned else 0.0
+
+    rois = rois.astype(jnp.float32) * spatial_scale - offset
+    x1, y1, x2, y2 = rois[:, 0], rois[:, 1], rois[:, 2], rois[:, 3]
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:  # torchvision: force malformed rois to size >= 1
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+
+    bin_h = roi_h / oh  # (K,)
+    bin_w = roi_w / ow
+
+    # Sample grid: for output cell (i,j), sample points at
+    # y1 + (i + (p + .5)/s) * bin_h for p in [0, s)
+    iy = (jnp.arange(oh)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)
+    ix = (jnp.arange(ow)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)
+    ys = y1[:, None] + iy[None, :] * bin_h[:, None]  # (K, oh*s)
+    xs = x1[:, None] + ix[None, :] * bin_w[:, None]  # (K, ow*s)
+
+    yy = jnp.broadcast_to(ys[:, :, None], (rois.shape[0], oh * s, ow * s))
+    xx = jnp.broadcast_to(xs[:, None, :], (rois.shape[0], oh * s, ow * s))
+    bb = jnp.broadcast_to(
+        roi_batch_idx.astype(jnp.int32)[:, None, None], yy.shape
+    )
+
+    samples = _bilinear_gather(features.astype(jnp.float32), bb, yy, xx)
+    K, _, _, C = samples.shape
+    samples = samples.reshape(K, oh, s, ow, s, C)
+    return samples.mean(axis=(2, 4))
