@@ -1,0 +1,168 @@
+"""Feature-extractor task controller.
+
+Functional counterpart of the reference ``Controller`` LightningModule
+(``/root/reference/engine/controller.py:14-246``): owns the model+loss assembly from
+the config, exposes pure jitted ``train_step`` / ``eval_step`` functions, and the
+verification-metric evaluation over pair lists.
+
+Config contract (parity with ``configs/cat_fe/cat_fe_head.py:95-162``):
+- ``model()``                     → flax module producing embeddings;
+- ``loss(config, model)``         → wrapper module (``SoftmaxBasedMetricLearning``);
+- ``optimizer(config)``           → ``optax.GradientTransformation``;
+- ``train_dataloader()`` / ``val_dataloader()`` [/ ``test_dataloader()``] →
+  iterables of ``{'x', 'label', 'index'}`` numpy batches;
+- ``pair_generator(i)``           → ``(name, PairGenerator)`` per val dataloader;
+- ``thrs`` / ``far_thr`` / ``k``  → metric knobs;
+- ``seed``, ``n_epochs``, ``output``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .metrics import cosine_pair_scores, recall_at_k, verification_metrics
+from .train_state import TrainState
+
+
+class Controller:
+    """FE task: embeddings + large-margin classification loss."""
+
+    def __init__(self, config, mesh: Mesh | None = None):
+        self.config = config
+        self.mesh = mesh
+        model = config.model()
+        self.model_loss = config.loss(config, model)
+
+    # -- state ------------------------------------------------------------
+    def init_state(self, rng: jax.Array, sample_batch: dict) -> TrainState:
+        x = jnp.asarray(sample_batch["x"][:1])
+        labels = jnp.asarray(sample_batch["label"][:1])
+        variables = self.model_loss.init(rng, x, labels, train=False)
+        tx = self.config.optimizer(self.config)
+        state = TrainState.create(self.model_loss.apply, variables, tx)
+        if self.mesh is not None:
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        return state
+
+    # -- steps ------------------------------------------------------------
+    def make_train_step(self):
+        """Jitted, data-sharded training step: grads all-reduce implicitly."""
+
+        def train_step(state: TrainState, batch: dict, rng: jax.Array):
+            def loss_fn(params):
+                out, mutated = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch["x"],
+                    batch["label"],
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": rng},
+                )
+                return out["loss"], (out, mutated)
+
+            (loss, (out, mutated)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            new_state = state.apply_gradients(
+                grads, mutated.get("batch_stats", state.batch_stats)
+            )
+            acc = jnp.mean(
+                (jnp.argmax(out["logits"], axis=-1) == batch["label"]).astype(
+                    jnp.float32
+                )
+            )
+            return new_state, {"loss": loss, "train_acc": acc}
+
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P("data"))
+            return jax.jit(
+                train_step,
+                in_shardings=(repl, {"x": data, "label": data, "index": data}, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def make_eval_step(self):
+        def eval_step(state: TrainState, x):
+            return state.apply_fn(state.variables, x, train=False)
+
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P("data"))
+            return jax.jit(eval_step, in_shardings=(repl, data), out_shardings=repl)
+        return jax.jit(eval_step)
+
+    def run_eval_batch(self, eval_step, state, batch, mesh):
+        """One eval-loader batch → host outputs for :meth:`evaluate`."""
+        from ..parallel import shard_batch
+
+        x = np.asarray(batch["x"])
+        if mesh is not None:
+            x = shard_batch({"x": x}, mesh)["x"]
+        emb = eval_step(state, x)
+        return {
+            "emb": jax.device_get(emb),
+            "label": np.asarray(batch["label"]),
+            "index": np.asarray(batch["index"]),
+        }
+
+    # -- evaluation (reference _evaluate, controller.py:95-203) ------------
+    def evaluate(self, outputs: list[list[dict]], logger=None, epoch: int = 0,
+                 prefix: str = "") -> dict[str, dict[str, float]]:
+        """``outputs[i]`` = list of per-batch dicts for val dataloader ``i``.
+
+        Returns ``{name: metrics}`` and optionally logs them.
+        """
+        all_metrics = {}
+        for i, batches in enumerate(outputs):
+            emb = np.concatenate([np.asarray(b["emb"]) for b in batches], axis=0)
+            classes = np.concatenate([np.asarray(b["label"]) for b in batches])
+            indices = np.concatenate([np.asarray(b["index"]) for b in batches])
+            order = np.argsort(indices)
+            emb, classes = emb[order], classes[order]
+
+            name, pair_generator = self.config.pair_generator(i)
+            pairs = np.asarray(pair_generator.corrected_indices)
+            labels = np.asarray(pair_generator.labels)
+
+            similarity_f = self.config.get("similarity_f") or cosine_pair_scores
+            scores = np.asarray(similarity_f(jnp.asarray(emb), pairs))
+
+            metrics = verification_metrics(
+                scores,
+                labels,
+                thrs=tuple(self.config.get("thrs", ())),
+                far_thrs=tuple(self.config.get("far_thr", ())),
+                frr_thrs=tuple(self.config.get("frr_thr", ())),
+            )
+            metrics.update(
+                recall_at_k(jnp.asarray(emb), jnp.asarray(classes),
+                            tuple(self.config.get("k", ())))
+            )
+            all_metrics[name] = metrics
+            if logger is not None:
+                logger.log_metrics(
+                    {f"{prefix}{name} {k}": v for k, v in metrics.items()}, epoch
+                )
+            else:
+                print(*[f"{name} {k}\t{v}" for k, v in metrics.items()], sep="\n")
+        return all_metrics
+
+    # -- dataloaders (delegated to config, controller.py:230-243) ----------
+    def train_dataloader(self):
+        return self.config.train_dataloader()
+
+    def val_dataloader(self):
+        return self.config.val_dataloader()
+
+    def test_dataloader(self):
+        dl = self.config.get("test_dataloader")
+        return dl() if dl is not None else self.config.val_dataloader()

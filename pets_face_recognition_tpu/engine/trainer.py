@@ -1,0 +1,240 @@
+"""Training runtime (the reference's forked PL Trainer, rebuilt functional).
+
+Covers the behavior the reference's 652-line fork actually uses
+(``/root/reference/engine/trainer.py``; SURVEY.md §2.3):
+
+- epoch loop with mid-epoch validation at ``val_check_interval`` (fraction or int
+  batches, as in ``engine/loops/train_loop.py:10-17``) — no barrier needed: SPMD;
+- ``fast_dev_run`` / ``limit_train_batches`` / ``limit_val_batches`` smoke knobs
+  (``engine/trainer.py:89,96-99``);
+- checkpoint each epoch under ``checkpoints/epoch=N-step=M`` + resume
+  (``main.py:46``, ``engine/trainer.py:614-620``);
+- graceful stop on SIGINT/SIGTERM: finish the step, checkpoint, exit
+  (``engine/loops/train_loop.py:33-35``);
+- logger finalization on exit, including failure status (``engine/trainer.py:34-54``).
+
+The hot path is a jitted, data-sharded train step from the controller; the trainer
+itself is plain Python orchestrating host-side data and metrics.
+"""
+
+from __future__ import annotations
+
+import signal
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+from ..parallel import create_mesh, shard_batch
+from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .logging import MetricsLogger
+
+
+def _as_list(dl):
+    return dl if isinstance(dl, (list, tuple)) else [dl]
+
+
+class Trainer:
+    def __init__(
+        self,
+        config=None,
+        logger: MetricsLogger | None = None,
+        mesh=None,
+        max_epochs: int | None = None,
+        enable_checkpointing: bool = True,
+        default_root_dir: str | Path = ".",
+        val_check_interval: float | int = 1.0,
+        limit_train_batches: int | None = None,
+        limit_val_batches: int | None = None,
+        log_every_n_steps: int = 50,
+        fast_dev_run: bool = False,
+        resume_from_checkpoint: str | Path | None = None,
+    ):
+        self.config = config
+        self.logger = logger
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.max_epochs = max_epochs or (config.n_epochs if config else 1)
+        self.enable_checkpointing = enable_checkpointing
+        self.default_root_dir = Path(default_root_dir)
+        self.val_check_interval = val_check_interval
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.log_every_n_steps = log_every_n_steps
+        self.fast_dev_run = fast_dev_run
+        self.resume_from_checkpoint = resume_from_checkpoint
+        if fast_dev_run:
+            self.max_epochs = 1
+            self.limit_train_batches = 1
+            self.limit_val_batches = 1
+        self._stop_requested = False
+        self.state = None
+        self.current_epoch = 0
+
+    # -- signal handling ----------------------------------------------------
+    def _install_signal_handlers(self):
+        def handler(signum, frame):  # pragma: no cover - signal path
+            print(f"[trainer] signal {signum}: will stop after current step")
+            self._stop_requested = True
+
+        try:
+            signal.signal(signal.SIGINT, handler)
+            signal.signal(signal.SIGTERM, handler)
+        except ValueError:  # not main thread (tests)
+            pass
+
+    # -- fit ------------------------------------------------------------------
+    def fit(self, controller, state=None):
+        self._install_signal_handlers()
+        status = "FINISHED"
+        try:
+            self._fit_inner(controller, state)
+        except BaseException:
+            status = "FAILED"
+            raise
+        finally:
+            if self.logger is not None:
+                self.logger.finalize(status)
+        return self.state
+
+    def _fit_inner(self, controller, state):
+        config = self.config or controller.config
+        controller.mesh = self.mesh
+        rng = jax.random.PRNGKey(int(config.get("seed", 0)))
+
+        train_loader = controller.train_dataloader()
+        first_batch = next(iter(train_loader))
+
+        if state is None:
+            init_rng, rng = jax.random.split(rng)
+            state = controller.init_state(init_rng, first_batch)
+        ckpt_dir = self.default_root_dir / "checkpoints"
+        start_epoch = 0
+        if self.resume_from_checkpoint or (
+            self.enable_checkpointing and latest_checkpoint(ckpt_dir)
+        ):
+            path = self.resume_from_checkpoint or latest_checkpoint(ckpt_dir)
+            payload = load_checkpoint(path)
+            state = state.replace(
+                params=payload["params"],
+                batch_stats=payload["batch_stats"],
+                opt_state=jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(state.opt_state),
+                    jax.tree_util.tree_leaves(payload["opt_state"]),
+                ),
+                step=jax.numpy.asarray(payload["step"], jax.numpy.int32),
+            )
+            start_epoch = int(payload["epoch"]) + 1
+            print(f"[trainer] resumed from {path} (epoch {start_epoch})")
+
+        train_step = controller.make_train_step()
+        n_batches = _count_batches(train_loader, self.limit_train_batches)
+        val_every = self._val_interval_steps(n_batches)
+
+        for epoch in range(start_epoch, self.max_epochs):
+            self.current_epoch = epoch
+            epoch_start = time.time()
+            losses = []
+            for batch_idx, batch in enumerate(train_loader):
+                if self.limit_train_batches and batch_idx >= self.limit_train_batches:
+                    break
+                step_rng = jax.random.fold_in(rng, int(state.step))
+                device_batch = shard_batch(_to_jax(batch), self.mesh)
+                state, metrics = train_step(state, device_batch, step_rng)
+                losses.append(metrics["loss"])
+                if (batch_idx + 1) % self.log_every_n_steps == 0 and self.logger:
+                    self.logger.log_metrics(
+                        {k: float(v) for k, v in metrics.items()
+                         if np.ndim(v) == 0},
+                        int(state.step),
+                    )
+                if val_every and (batch_idx + 1) % val_every == 0 and (
+                    batch_idx + 1
+                ) < n_batches:
+                    self.validate(controller, state, epoch)
+                if self._stop_requested:
+                    break
+
+            mean_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
+            if self.logger:
+                self.logger.log_metrics(
+                    {"epoch_loss": mean_loss,
+                     "epoch_time_s": time.time() - epoch_start},
+                    int(state.step),
+                )
+            self.validate(controller, state, epoch)
+            if self.enable_checkpointing:
+                path = save_checkpoint(ckpt_dir, state, epoch)
+                print(f"[trainer] checkpoint: {path}")
+            if self._stop_requested:
+                print("[trainer] graceful stop")
+                break
+        self.state = state
+        return state
+
+    def _val_interval_steps(self, n_batches: int | None):
+        v = self.val_check_interval
+        if not v or v == 1.0 or n_batches is None:
+            return None
+        if isinstance(v, float):
+            return max(int(n_batches * v), 1)
+        return int(v)
+
+    # -- validation / test ------------------------------------------------
+    def validate(self, controller, state=None, epoch: int | None = None):
+        state = state if state is not None else self.state
+        return self._run_eval(
+            controller, state, _as_list(controller.val_dataloader()),
+            epoch if epoch is not None else self.current_epoch, prefix="val "
+        )
+
+    def test(self, controller, state=None):
+        state = state if state is not None else self.state
+        return self._run_eval(
+            controller, state, _as_list(controller.test_dataloader()),
+            self.current_epoch, prefix="test ",
+        )
+
+    def _run_eval(self, controller, state, loaders, epoch, prefix):
+        controller.mesh = self.mesh
+        eval_step = controller.make_eval_step()
+        outputs = []
+        for loader in loaders:
+            batches = []
+            for batch_idx, batch in enumerate(loader):
+                if self.limit_val_batches and batch_idx >= self.limit_val_batches:
+                    break
+                batches.append(
+                    controller.run_eval_batch(eval_step, state, batch, self.mesh)
+                )
+            outputs.append(batches)
+        return controller.evaluate(outputs, logger=self.logger, epoch=epoch,
+                                   prefix=prefix)
+
+
+def _to_jax(batch: dict) -> dict:
+    return {k: np.asarray(v) for k, v in batch.items()}
+
+
+def _count_batches(loader, limit) -> int | None:
+    try:
+        n = len(loader)
+    except TypeError:
+        return None
+    return min(n, limit) if limit else n
+
+
+def configure_trainer(config, logger=None, **overrides) -> Trainer:
+    """Assemble a Trainer from a config (reference ``configure_trainer``,
+    ``utils/__init__.py:122-134``)."""
+    kwargs = dict(
+        config=config,
+        logger=logger,
+        max_epochs=config.get("n_epochs", 1),
+        default_root_dir=config.get("output", "."),
+        val_check_interval=config.get("val_check_interval", 1.0),
+        enable_checkpointing=config.get("enable_checkpointing", True),
+    )
+    kwargs.update(overrides)
+    return Trainer(**kwargs)

@@ -1,0 +1,74 @@
+"""Feature Pyramid Network.
+
+Replaces torchvision's ``BackboneWithFPN`` + ``LastLevelMaxPool`` used by every
+reference R-CNN factory (``/root/reference/models/detection/rcnn.py:46-164``):
+lateral 1×1 convs, nearest-neighbor top-down pathway, 3×3 smoothing convs, and an
+extra stride-2 max-pool level (``p6``) for the RPN.
+
+NHWC; all shapes static given the input size.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def _upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    B, H, W, C = x.shape
+    return jnp.broadcast_to(
+        x[:, :, None, :, None, :], (B, H, 2, W, 2, C)
+    ).reshape(B, 2 * H, 2 * W, C)
+
+
+class FPN(nn.Module):
+    """``{'c2'..'c5'} -> {'p2'..'p6'}`` with ``out_channels`` everywhere."""
+
+    out_channels: int = 256
+    in_levels: Sequence[str] = ("c2", "c3", "c4", "c5")
+    add_p6: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: dict[str, jnp.ndarray]) -> dict[str, jnp.ndarray]:
+        laterals = []
+        for i, lvl in enumerate(self.in_levels):
+            laterals.append(
+                nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name=f"inner_{i}")(feats[lvl])
+            )
+        # top-down: start at the coarsest level
+        merged = [laterals[-1]]
+        for lat in laterals[-2::-1]:
+            up = _upsample_nearest_2x(merged[0])
+            # crop in case of odd sizes (static slice)
+            up = up[:, : lat.shape[1], : lat.shape[2], :]
+            merged.insert(0, lat + up)
+        outs = {}
+        for i, (lvl, m) in enumerate(zip(self.in_levels, merged)):
+            p = f"p{int(lvl[1:])}"
+            outs[p] = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                              dtype=self.dtype, name=f"layer_{i}")(m)
+        if self.add_p6:
+            top = f"p{int(self.in_levels[-1][1:])}"
+            outs[f"p{int(self.in_levels[-1][1:]) + 1}"] = nn.max_pool(
+                outs[top], (1, 1), strides=(2, 2)
+            )
+        return outs
+
+
+class BackboneWithFPN(nn.Module):
+    """Backbone (``features_only``) + FPN, the detection trunk."""
+
+    backbone: nn.Module
+    out_channels: int = 256
+    in_levels: Sequence[str] = ("c2", "c3", "c4", "c5")
+    add_p6: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = self.backbone(x, train=train)
+        return FPN(self.out_channels, self.in_levels, self.add_p6,
+                   name="fpn")(feats)

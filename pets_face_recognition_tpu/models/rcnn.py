@@ -1,0 +1,361 @@
+"""Generalized R-CNN assemblies: Faster / Mask / Keypoint R-CNN.
+
+TPU-native rebuild of the torchvision detection models the reference uses in
+production (``maskrcnn_resnet50_fpn`` for bodies,
+``configs/mask/mask_rcnn_config.py:60-79``; ``keypointrcnn_resnet50_fpn`` for
+head+landmarks, ``configs/keypoint/keypoints_config.py:69-90``) and the custom
+factories in ``/root/reference/models/detection/rcnn.py``.
+
+Design (everything static-shape under jit):
+- input is a fixed ``(B, H, W, 3)`` normalized batch (host-side letterbox replaces
+  ``GeneralizedRCNNTransform``'s dynamic resize — SURVEY.md §3.2);
+- training: ``__call__(images, targets, train=True, rngs={'sampler': ...})`` returns
+  the torchvision-style loss dict (summed by the config loss wrapper, parity with
+  ``configs/mask/mask_rcnn_config.py:82-97``);
+- inference: returns fixed-size padded detections with validity masks:
+  ``{'boxes' (B, D, 4), 'labels', 'scores', 'valid', ['masks' (B, D, 28, 28)],
+  ['keypoints' (B, D, K, 3), 'keypoints_scores']}``.
+
+Targets format: ``{'boxes' (B, G, 4), 'labels' (B, G), 'valid' (B, G),
+['masks' (B, G, H, W)], ['keypoints' (B, G, K, 3)]}``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.anchors import multilevel_anchors
+from . import roi_heads as rh
+from .fpn import BackboneWithFPN
+from .resnet import resnet50
+from .rpn import RPNHead, generate_proposals, rpn_loss
+from .swin import swin_t
+
+
+@dataclasses.dataclass(frozen=True)
+class RCNNConfig:
+    """Static hyper-parameters (torchvision defaults unless noted)."""
+
+    num_classes: int = 2
+    # anchors: one size tuple per FPN level p2..p6
+    anchor_sizes: tuple = ((32,), (64,), (128,), (256,), (512,))
+    aspect_ratios: tuple = (0.5, 1.0, 2.0)
+    # RPN
+    rpn_pre_nms_top_n_train: int = 2000
+    rpn_pre_nms_top_n_test: int = 1000
+    rpn_post_nms_top_n_train: int = 2000
+    rpn_post_nms_top_n_test: int = 1000
+    rpn_nms_thresh: float = 0.7
+    rpn_fg_iou_thresh: float = 0.7
+    rpn_bg_iou_thresh: float = 0.3
+    rpn_batch_size_per_image: int = 256
+    rpn_positive_fraction: float = 0.5
+    # Box head
+    box_score_thresh: float = 0.05
+    box_nms_thresh: float = 0.5
+    box_detections_per_img: int = 100
+    box_fg_iou_thresh: float = 0.5
+    box_bg_iou_thresh: float = 0.5
+    box_batch_size_per_image: int = 512
+    box_positive_fraction: float = 0.25
+    # Task heads
+    with_mask: bool = False
+    num_keypoints: int = 0
+    mask_roi_size: int = 14
+    keypoint_roi_size: int = 14
+
+
+class GeneralizedRCNN(nn.Module):
+    backbone: nn.Module  # BackboneWithFPN: images -> {'p2'..'p6'}
+    cfg: RCNNConfig
+
+    def setup(self):
+        c = self.cfg
+        self.rpn_head = RPNHead(
+            num_anchors=len(c.anchor_sizes[0]) * len(c.aspect_ratios), name="rpn"
+        )
+        self.box_head = rh.TwoMLPHead(name="box_head")
+        self.box_predictor = rh.FastRCNNPredictor(c.num_classes,
+                                                  name="box_predictor")
+        if c.with_mask:
+            self.mask_head = rh.MaskHead(c.num_classes, name="mask_head")
+        if c.num_keypoints:
+            self.keypoint_head = rh.KeypointHead(c.num_keypoints,
+                                                 name="keypoint_head")
+
+    # ------------------------------------------------------------------ #
+
+    def _anchors_and_levels(self, feats, image_size):
+        rpn_levels = sorted(feats)
+        feature_sizes = [
+            (feats[l].shape[1], feats[l].shape[2]) for l in rpn_levels
+        ]
+        strides = [image_size[0] // h for (h, _) in feature_sizes]
+        anchors = multilevel_anchors(
+            feature_sizes, strides, self.cfg.anchor_sizes,
+            self.cfg.aspect_ratios,
+        )
+        A = len(self.cfg.anchor_sizes[0]) * len(self.cfg.aspect_ratios)
+        level_ids = np.concatenate([
+            np.full(h * w * A, i, np.int32)
+            for i, (h, w) in enumerate(feature_sizes)
+        ])
+        return anchors, level_ids, strides
+
+    def _pool_levels(self, feats):
+        """p2..p5 (box/mask/kp heads never see p6, torchvision convention)."""
+        keys = sorted(feats)[:-1] if len(feats) > 4 else sorted(feats)
+        return [feats[k] for k in keys]
+
+    def _box_forward(self, pool_feats, boxes_flat, batch_idx, strides):
+        pooled = rh.multilevel_roi_align(
+            pool_feats, boxes_flat, batch_idx, (7, 7),
+            tuple(strides[: len(pool_feats)]),
+        )
+        return self.box_predictor(self.box_head(pooled))
+
+    # ------------------------------------------------------------------ #
+
+    def __call__(self, images, targets=None, train: bool = False):
+        c = self.cfg
+        B, H, W, _ = images.shape
+        image_size = (H, W)
+        feats = self.backbone(images, train=train)
+        anchors, level_ids, strides = self._anchors_and_levels(feats, image_size)
+        objectness, deltas = self.rpn_head(feats)
+        pool_feats = self._pool_levels(feats)
+
+        if train:
+            return self._forward_train(
+                images, targets, feats, pool_feats, anchors, level_ids,
+                strides, objectness, deltas, image_size,
+            )
+        return self._forward_eval(
+            feats, pool_feats, anchors, level_ids, strides, objectness,
+            deltas, image_size,
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def _forward_train(self, images, targets, feats, pool_feats, anchors,
+                       level_ids, strides, objectness, deltas, image_size):
+        c = self.cfg
+        B = images.shape[0]
+        rng = self.make_rng("sampler")
+        rpn_rng, box_rng = jax.random.split(rng)
+
+        losses = rpn_loss(
+            objectness, deltas, anchors, targets["boxes"],
+            targets["valid"], rpn_rng,
+            c.rpn_batch_size_per_image, c.rpn_positive_fraction,
+        )
+
+        proposals, prop_valid = generate_proposals(
+            jax.lax.stop_gradient(objectness),
+            jax.lax.stop_gradient(deltas),
+            anchors, level_ids, image_size,
+            c.rpn_pre_nms_top_n_train, c.rpn_post_nms_top_n_train,
+            c.rpn_nms_thresh, num_levels=int(level_ids.max()) + 1,
+        )
+
+        # per-image sampling of proposals for the box head
+        keys = jax.random.split(box_rng, B)
+        sample = jax.vmap(
+            lambda p, pv, gb, gl, gv, k: rh.select_training_samples(
+                p, pv, gb, gl, gv, k,
+                c.box_batch_size_per_image, c.box_positive_fraction,
+                c.box_fg_iou_thresh, c.box_bg_iou_thresh,
+            )
+        )
+        boxes, cls_t, gt_idx, valid, fg = sample(
+            proposals, prop_valid, targets["boxes"], targets["labels"],
+            targets["valid"], keys,
+        )
+
+        S = boxes.shape[1]
+        boxes_flat = boxes.reshape(B * S, 4)
+        batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), S)
+        class_logits, box_deltas = self._box_forward(
+            pool_feats, boxes_flat, batch_idx, strides
+        )
+
+        matched_boxes = jnp.take_along_axis(
+            targets["boxes"], gt_idx[..., None], axis=1
+        ).reshape(B * S, 4)
+        losses.update(
+            rh.fastrcnn_loss(
+                class_logits, box_deltas, boxes_flat,
+                cls_t.reshape(-1), matched_boxes,
+                valid.reshape(-1), fg.reshape(-1),
+            )
+        )
+
+        if c.with_mask:
+            pooled = rh.multilevel_roi_align(
+                pool_feats, boxes_flat, batch_idx,
+                (c.mask_roi_size, c.mask_roi_size),
+                tuple(strides[: len(pool_feats)]),
+            )
+            mask_logits = self.mask_head(pooled)  # (B*S, 28, 28, C)
+            gt_masks = jax.vmap(
+                lambda m, bx, gi: rh.project_masks_on_boxes(m, bx, gi, 28)
+            )(targets["masks"], boxes, gt_idx)
+            losses["loss_mask"] = rh.maskrcnn_loss(
+                mask_logits, cls_t.reshape(-1),
+                gt_masks.reshape(B * S, 28, 28), fg.reshape(-1),
+            )
+
+        if c.num_keypoints:
+            pooled = rh.multilevel_roi_align(
+                pool_feats, boxes_flat, batch_idx,
+                (c.keypoint_roi_size, c.keypoint_roi_size),
+                tuple(strides[: len(pool_feats)]),
+            )
+            kp_logits = self.keypoint_head(pooled)  # (B*S, 56, 56, K)
+            gt_kps = jnp.take_along_axis(
+                targets["keypoints"], gt_idx[..., None, None], axis=1
+            ).reshape(B * S, c.num_keypoints, 3)
+            kp_targets, kp_valid = rh.keypoints_to_heatmap_targets(
+                gt_kps, boxes_flat, kp_logits.shape[1]
+            )
+            losses["loss_keypoint"] = rh.keypointrcnn_loss(
+                kp_logits, kp_targets, kp_valid, fg.reshape(-1)
+            )
+        return losses
+
+    # ------------------------------------------------------------------ #
+
+    def _forward_eval(self, feats, pool_feats, anchors, level_ids, strides,
+                      objectness, deltas, image_size):
+        c = self.cfg
+        B = objectness.shape[0]
+        proposals, prop_valid = generate_proposals(
+            objectness, deltas, anchors, level_ids, image_size,
+            c.rpn_pre_nms_top_n_test, c.rpn_post_nms_top_n_test,
+            c.rpn_nms_thresh, num_levels=int(level_ids.max()) + 1,
+        )
+        S = proposals.shape[1]
+        boxes_flat = proposals.reshape(B * S, 4)
+        batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), S)
+        class_logits, box_deltas = self._box_forward(
+            pool_feats, boxes_flat, batch_idx, strides
+        )
+
+        post = jax.vmap(
+            lambda cl, bd, p, pv: rh.postprocess_detections(
+                cl, bd, p, pv, image_size,
+                c.box_score_thresh, c.box_nms_thresh, c.box_detections_per_img,
+            )
+        )
+        det_boxes, det_labels, det_scores, det_valid = post(
+            class_logits.reshape(B, S, -1),
+            box_deltas.reshape(B, S, -1, 4),
+            proposals, prop_valid,
+        )
+
+        out = {
+            "boxes": det_boxes,
+            "labels": det_labels,
+            "scores": det_scores,
+            "valid": det_valid,
+        }
+
+        D = det_boxes.shape[1]
+        det_flat = det_boxes.reshape(B * D, 4)
+        det_bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), D)
+
+        if c.with_mask:
+            pooled = rh.multilevel_roi_align(
+                pool_feats, det_flat, det_bidx,
+                (c.mask_roi_size, c.mask_roi_size),
+                tuple(strides[: len(pool_feats)]),
+            )
+            mask_logits = self.mask_head(pooled)  # (B*D, 28, 28, C)
+            per_class = jnp.take_along_axis(
+                mask_logits,
+                det_labels.reshape(B * D)[:, None, None, None].astype(jnp.int32),
+                axis=-1,
+            )[..., 0]
+            out["masks"] = jax.nn.sigmoid(per_class).reshape(B, D, 28, 28)
+
+        if c.num_keypoints:
+            pooled = rh.multilevel_roi_align(
+                pool_feats, det_flat, det_bidx,
+                (c.keypoint_roi_size, c.keypoint_roi_size),
+                tuple(strides[: len(pool_feats)]),
+            )
+            kp_logits = self.keypoint_head(pooled)
+            kps, kp_scores = rh.heatmaps_to_keypoints(kp_logits, det_flat)
+            out["keypoints"] = kps.reshape(B, D, c.num_keypoints, 3)
+            out["keypoints_scores"] = kp_scores.reshape(B, D, c.num_keypoints)
+        return out
+
+
+# --------------------------------------------------------------------------- #
+# Factories (reference config-facing names)
+# --------------------------------------------------------------------------- #
+
+
+def maskrcnn_resnet50_fpn(
+    num_classes: int = 2,
+    box_detections_per_img: int = 3,
+    **overrides,
+) -> GeneralizedRCNN:
+    """Production body detector/segmenter
+    (``configs/mask/mask_rcnn_config.py:60-79``: num_classes=2, 3 det/img)."""
+    cfg = RCNNConfig(
+        num_classes=num_classes, with_mask=True,
+        box_detections_per_img=box_detections_per_img, **overrides,
+    )
+    backbone = BackboneWithFPN(backbone=resnet50(features_only=True,
+                                                 frozen_stats=True))
+    return GeneralizedRCNN(backbone=backbone, cfg=cfg)
+
+
+def keypointrcnn_resnet50_fpn(
+    num_classes: int = 2,
+    num_keypoints: int = 3,
+    box_detections_per_img: int = 1,
+    **overrides,
+) -> GeneralizedRCNN:
+    """Production head+landmark detector
+    (``configs/keypoint/keypoints_config.py:69-90``: 3 keypoints, 1 det/img).
+    torchvision keypointrcnn uses a single-size-per-level anchor set scaled like
+    maskrcnn; keep defaults."""
+    cfg = RCNNConfig(
+        num_classes=num_classes, num_keypoints=num_keypoints,
+        box_detections_per_img=box_detections_per_img, **overrides,
+    )
+    backbone = BackboneWithFPN(backbone=resnet50(features_only=True,
+                                                 frozen_stats=True))
+    return GeneralizedRCNN(backbone=backbone, cfg=cfg)
+
+
+def swin_tiny_keypoint_rcnn(
+    num_classes: int = 2,
+    num_keypoints: int = 3,
+    window_size: int = 7,
+    **overrides,
+) -> GeneralizedRCNN:
+    """Swin-T keypoint R-CNN (reference ``models/detection/rcnn.py:129-164``
+    builds the same from Swin stages as the FPN body)."""
+    cfg = RCNNConfig(
+        num_classes=num_classes, num_keypoints=num_keypoints,
+        box_detections_per_img=1, **overrides,
+    )
+    backbone = BackboneWithFPN(backbone=swin_t(features_only=True,
+                                               window_size=window_size))
+    return GeneralizedRCNN(backbone=backbone, cfg=cfg)
+
+
+def fasterrcnn_resnet50_fpn(num_classes: int = 2, **overrides) -> GeneralizedRCNN:
+    cfg = RCNNConfig(num_classes=num_classes, **overrides)
+    backbone = BackboneWithFPN(backbone=resnet50(features_only=True,
+                                                 frozen_stats=True))
+    return GeneralizedRCNN(backbone=backbone, cfg=cfg)

@@ -113,3 +113,109 @@ def roi_align(
     K, _, _, C = samples.shape
     samples = samples.reshape(K, oh, s, ow, s, C)
     return samples.mean(axis=(2, 4))
+
+
+def multilevel_roi_align(
+    features: list[jnp.ndarray],
+    rois: jnp.ndarray,
+    roi_batch_idx: jnp.ndarray,
+    output_size: tuple[int, int],
+    strides: tuple[int, ...],
+    sampling_ratio: int = 2,
+    canonical_scale: float = 224.0,
+    canonical_level: int = 4,
+    min_level: int = 2,
+    max_level: int = 5,
+) -> jnp.ndarray:
+    """FPN-aware RoIAlign (torchvision ``MultiScaleRoIAlign`` semantics).
+
+    Each RoI is assigned to pyramid level ``floor(k0 + log2(sqrt(area)/224))``
+    clamped to ``[min_level, max_level]`` and pooled from that level only. To stay
+    static-shape and single-kernel, all levels are flattened into one ``(B, P, C)``
+    buffer and the bilinear gather indexes it with per-RoI level offsets — one XLA
+    gather for the whole batch instead of torchvision's per-level loop.
+
+    Args:
+      features: list of ``(B, H_l, W_l, C)`` NHWC maps ordered ``p2..p5``.
+      strides: image-to-feature stride per level, e.g. ``(4, 8, 16, 32)``.
+    """
+    oh, ow = output_size
+    s = sampling_ratio
+    B, _, _, C = features[0].shape
+    K = rois.shape[0]
+
+    sizes = [(f.shape[1], f.shape[2]) for f in features]
+    flat = jnp.concatenate([f.reshape(B, -1, C) for f in features], axis=1)
+    offsets, off = [], 0
+    for h, w in sizes:
+        offsets.append(off)
+        off += h * w
+    P = off
+
+    hs = jnp.asarray([h for h, _ in sizes], jnp.int32)
+    ws = jnp.asarray([w for _, w in sizes], jnp.int32)
+    offs = jnp.asarray(offsets, jnp.int32)
+    scales = jnp.asarray([1.0 / st for st in strides], jnp.float32)
+
+    # level assignment (torchvision LevelMapper, eps keeps log2 finite)
+    rois = rois.astype(jnp.float32)
+    area = jnp.clip(rois[:, 2] - rois[:, 0], 0) * jnp.clip(
+        rois[:, 3] - rois[:, 1], 0
+    )
+    lvl = jnp.floor(
+        canonical_level + jnp.log2(jnp.sqrt(area) / canonical_scale + 1e-6)
+    )
+    lvl = jnp.clip(lvl, min_level, max_level).astype(jnp.int32) - min_level
+
+    scale = scales[lvl]  # (K,)
+    H = hs[lvl]
+    W = ws[lvl]
+    base = offs[lvl]
+
+    boxes = rois * scale[:, None]
+    x1, y1 = boxes[:, 0], boxes[:, 1]
+    roi_w = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1.0)
+    roi_h = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1.0)
+    bin_h = roi_h / oh
+    bin_w = roi_w / ow
+
+    iy = (jnp.arange(oh)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)
+    ix = (jnp.arange(ow)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)
+    ys = y1[:, None] + iy[None, :] * bin_h[:, None]  # (K, oh*s)
+    xs = x1[:, None] + ix[None, :] * bin_w[:, None]
+
+    yy = jnp.broadcast_to(ys[:, :, None], (K, oh * s, ow * s))
+    xx = jnp.broadcast_to(xs[:, None, :], (K, oh * s, ow * s))
+    Hf = H.astype(jnp.float32)[:, None, None]
+    Wf = W.astype(jnp.float32)[:, None, None]
+
+    oob = (yy <= -1.0) | (yy >= Hf) | (xx <= -1.0) | (xx >= Wf)
+    yyc = jnp.clip(yy, 0.0, None)
+    xxc = jnp.clip(xx, 0.0, None)
+    y_low = jnp.floor(yyc).astype(jnp.int32)
+    x_low = jnp.floor(xxc).astype(jnp.int32)
+    y_edge = y_low >= (H[:, None, None] - 1)
+    x_edge = x_low >= (W[:, None, None] - 1)
+    y_low = jnp.where(y_edge, H[:, None, None] - 1, y_low)
+    x_low = jnp.where(x_edge, W[:, None, None] - 1, x_low)
+    y_high = jnp.where(y_edge, y_low, y_low + 1)
+    x_high = jnp.where(x_edge, x_low, x_low + 1)
+    ly = jnp.where(y_edge, 0.0, yyc - y_low.astype(jnp.float32))
+    lx = jnp.where(x_edge, 0.0, xxc - x_low.astype(jnp.float32))
+    hy, hx = 1.0 - ly, 1.0 - lx
+
+    big = flat.reshape(B * P, C)
+    bidx = roi_batch_idx.astype(jnp.int32)[:, None, None]
+
+    def take(yyi, xxi):
+        idx = bidx * P + base[:, None, None] + yyi * W[:, None, None] + xxi
+        return big[idx.reshape(-1)].reshape(K, oh * s, ow * s, C)
+
+    val = (
+        take(y_low, x_low) * (hy * hx)[..., None]
+        + take(y_low, x_high) * (hy * lx)[..., None]
+        + take(y_high, x_low) * (ly * hx)[..., None]
+        + take(y_high, x_high) * (ly * lx)[..., None]
+    )
+    val = jnp.where(oob[..., None], 0.0, val)
+    return val.reshape(K, oh, s, ow, s, C).mean(axis=(2, 4))

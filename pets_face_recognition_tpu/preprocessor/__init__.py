@@ -1,0 +1,327 @@
+"""Detect → align/crop inference pipelines (the reference "Preproc" classes).
+
+Behavioral rebuild of ``/root/reference/preprocessor/__init__.py`` with the three
+production pipelines (SURVEY.md §2.7):
+
+- :class:`Preproc3` — Keypoint R-CNN head+landmarks → validity checks (top score >
+  ``thr``, pairwise landmark distance > ``min_distance``) → homography alignment to
+  ``base_pts``/``dsize`` (ref ``:161-216``);
+- :class:`Preproc4` — Mask R-CNN body → score check → bbox crop, optional
+  mask-multiply + mask-derived bbox tightening (ref ``:219-274``);
+- :class:`Preproc6` — Keypoint R-CNN head **bbox** crop, no alignment (ref
+  ``:277-319``);
+- :class:`IdentityPreproc` — passthrough (ref ``:741-743``).
+
+TPU-first changes:
+- the core is ``batch(images)`` → ``(outputs, valid)``: one jitted
+  detect→decode→align/crop graph over a fixed-size letterboxed batch. Failed images
+  return ``valid=False`` instead of raising — the batched analog of the reference's
+  assert-and-skip semantics (``transform_reproduce.py:41``);
+- ``__call__(img)`` keeps the reference single-image contract (raises
+  ``AssertionError`` on failure) for the transform/table scripts;
+- crops are produced by a fused device-side warp (bbox → letterboxed canvas affine)
+  instead of host crop + PIL ``thumbnail`` (``utils/preprocs.py:42-49``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.homography import align_crop, warp_perspective
+from ..ops.masks import paste_masks
+from ..utils.collate import letterbox_image
+from .align import align
+
+__all__ = [
+    "Preproc3",
+    "Preproc4",
+    "Preproc6",
+    "IdentityPreproc",
+    "align",
+    "bbox_crop_letterbox",
+]
+
+# Canonical head landmarks → 224×224 (generate_tsv_to_reproduce1.py:151-154).
+DEFAULT_BASE_PTS = np.array([[70.0, 92.0], [154.0, 92.0], [112.0, 160.0]],
+                            np.float32)
+
+
+def _affine_h(scale: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray):
+    """(3,3) homography for ``dst = src * scale + (tx, ty)``."""
+    z = jnp.zeros_like(scale)
+    o = jnp.ones_like(scale)
+    return jnp.stack([
+        jnp.stack([scale, z, tx], -1),
+        jnp.stack([z, scale, ty], -1),
+        jnp.stack([z, z, o], -1),
+    ], -2)
+
+
+def bbox_crop_letterbox(images: jnp.ndarray, boxes: jnp.ndarray,
+                        out_size: tuple[int, int]) -> jnp.ndarray:
+    """Device-side batched bbox crop + aspect-preserving letterbox resize.
+
+    Equivalent of host crop + ``resize_with_padding``
+    (``generate_tsv_to_reproduce1.py:216``, ``utils/preprocs.py:42-49``).
+    """
+    oh, ow = out_size
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    bw = jnp.maximum(x2 - x1, 1.0)
+    bh = jnp.maximum(y2 - y1, 1.0)
+    scale = jnp.minimum(oh / bh, ow / bw)
+    tx = (ow - bw * scale) / 2.0 - x1 * scale
+    ty = (oh - bh * scale) / 2.0 - y1 * scale
+    Hs = _affine_h(scale, tx, ty)
+    return jax.vmap(
+        lambda im, h: warp_perspective(im, h, (oh, ow))
+    )(images.astype(jnp.float32), Hs)
+
+
+class _ModelPipeline:
+    """Shared machinery: hold a jitted detector forward + postprocess graph.
+
+    ``model_fn(images) -> detections dict`` must be a jittable callable (typically
+    ``lambda x: model.apply(variables, x, train=False)``). Models are *injected*
+    rather than loaded from torch checkpoints (the reference reloads its model on
+    unpickle, ``preprocessor/__init__.py`` __setstate__ — here ``loader`` plays that
+    role).
+    """
+
+    def __init__(self, model_fn: Callable | None = None,
+                 loader: Callable | None = None,
+                 input_size: tuple[int, int] = (320, 320)):
+        assert model_fn is not None or loader is not None
+        self._model_fn = model_fn
+        self._loader = loader
+        self.input_size = tuple(input_size)
+
+    @property
+    def model_fn(self):
+        if self._model_fn is None:
+            self._model_fn = self._loader()
+        return self._model_fn
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_model_fn"] = None  # drop the jitted graph, reload on unpickle
+        return state
+
+    def _prepare(self, images: list[np.ndarray] | np.ndarray):
+        """Letterbox a list of HWC uint8/float images to the model input size.
+
+        Returns (batch (B,H,W,3) float32 in [0,1], scales (B,), pads (B,2)).
+        """
+        if isinstance(images, np.ndarray) and images.ndim == 3:
+            images = [images]
+        H, W = self.input_size
+        batch = np.zeros((len(images), H, W, 3), np.float32)
+        scales = np.zeros(len(images), np.float32)
+        pads = np.zeros((len(images), 2), np.float32)
+        for i, img in enumerate(images):
+            img = np.asarray(img)
+            if img.ndim == 2:
+                img = np.stack([img] * 3, -1)
+            if img.shape[-1] == 4:
+                img = img[..., :3]
+            canvas, scale, (px, py) = letterbox_image(img, (H, W))
+            canvas = canvas.astype(np.float32)
+            if canvas.max() > 1.5:
+                canvas = canvas / 255.0
+            batch[i] = canvas
+            scales[i] = scale
+            pads[i] = (px, py)
+        return batch, scales, pads
+
+
+class Preproc3(_ModelPipeline):
+    """Head landmarks → aligned crop (production head pipeline, ref ``:161-216``)."""
+
+    def __init__(self, model_fn=None, loader=None, thr: float = 0.9,
+                 min_distance: float = 5.0, base_pts=DEFAULT_BASE_PTS,
+                 dsize=(224, 224, 3), input_size=(320, 320),
+                 return_for_metrics: bool = False):
+        super().__init__(model_fn, loader, input_size)
+        self.thr = thr
+        self.min_distance = min_distance
+        self.base_pts = np.asarray(base_pts, np.float32)
+        self.dsize = tuple(dsize)
+        self.return_for_metrics = return_for_metrics
+
+    def batch(self, images) -> tuple[np.ndarray, np.ndarray, dict]:
+        """(B images) → (aligned (B, h, w, 3) uint8-range float, valid (B,), raw)."""
+        batch, scales, pads = self._prepare(images)
+        dets = self.model_fn(jnp.asarray(batch))
+        out = jax.device_get(dets)
+
+        scores = out["scores"][:, 0]
+        det_valid = out["valid"][:, 0]
+        kps = out["keypoints"][:, 0, :, :2]  # (B, 3, 2) letterbox coords
+        # back to original image coordinates; reference rounds keypoints to int
+        # before the distance check and alignment (ref :181)
+        kps = np.round(
+            (kps - pads[:, None, :]) / scales[:, None, None]
+        ).astype(np.float32)
+
+        # validity: top score > thr AND pairwise landmark distances > min_distance
+        # (ref :178-187)
+        d01 = np.linalg.norm(kps[:, 0] - kps[:, 1], axis=-1)
+        d02 = np.linalg.norm(kps[:, 0] - kps[:, 2], axis=-1)
+        d12 = np.linalg.norm(kps[:, 1] - kps[:, 2], axis=-1)
+        valid = (
+            det_valid
+            & (scores > self.thr)
+            & (d01 > self.min_distance)
+            & (d02 > self.min_distance)
+            & (d12 > self.min_distance)
+        )
+
+        # align per original image (variable sizes -> per-image jit by shape)
+        out_hw = self.dsize[:2]
+        aligned = np.zeros((len(batch), *out_hw, 3), np.float32)
+        img_list = [images] if isinstance(images, np.ndarray) and np.ndim(
+            images) == 3 else images
+        for i, img in enumerate(img_list):
+            if not valid[i]:
+                continue
+            img = np.asarray(img)
+            if img.ndim == 2:
+                img = np.stack([img] * 3, -1)
+            aligned[i] = np.asarray(
+                align(img[..., :3].astype(np.float32), kps[i],
+                      self.base_pts, self.dsize)
+            )
+        raw = {"scores": scores, "keypoints": kps,
+               "boxes": (out["boxes"][:, 0] - np.tile(pads, 2))
+               / scales[:, None]}
+        return aligned, np.asarray(valid), raw
+
+    def __call__(self, img: np.ndarray):
+        aligned, valid, raw = self.batch([img])
+        assert valid[0], "Preproc3: low score or degenerate landmarks"
+        if self.return_for_metrics:
+            # reference returns the rounded-int landmark array (ref :189-190)
+            return raw["keypoints"][0].astype(int)
+        return aligned[0]
+
+
+class Preproc4(_ModelPipeline):
+    """Body bbox crop via Mask R-CNN (production body pipeline, ref ``:219-274``)."""
+
+    def __init__(self, model_fn=None, loader=None, thr: float = 0.9,
+                 use_mask: bool = False, mask_thr: float = 0.5,
+                 out_size: tuple[int, int] | None = None,
+                 input_size=(320, 320), return_for_metrics: bool = False):
+        super().__init__(model_fn, loader, input_size)
+        self.thr = thr
+        self.use_mask = use_mask
+        self.mask_thr = mask_thr
+        self.out_size = out_size
+        self.return_for_metrics = return_for_metrics
+
+    def batch(self, images):
+        """→ (crops, valid, raw). ``out_size`` set: fixed-size letterboxed crops
+        on device; otherwise host-side variable-size crops (compat path)."""
+        batch, scales, pads = self._prepare(images)
+        dets = self.model_fn(jnp.asarray(batch))
+        out = jax.device_get(dets)
+
+        all_scores = out["scores"]
+        scores = all_scores[:, 0]
+        valid = out["valid"][:, 0] & (scores > self.thr)
+        boxes = (out["boxes"][:, 0] - np.tile(pads, 2)) / scales[:, None]
+
+        img_list = [images] if isinstance(images, np.ndarray) and np.ndim(
+            images) == 3 else images
+
+        if self.use_mask and "masks" in out:
+            # mask-multiply + bbox tightening from the thresholded mask (ref
+            # :238-243); mask is pasted at letterbox scale then mapped back.
+            boxes = boxes.copy()
+
+        crops = []
+        for i, img in enumerate(img_list):
+            img = np.asarray(img)
+            if img.ndim == 2:
+                img = np.stack([img] * 3, -1)
+            img = img[..., :3].astype(np.float32)
+            if not valid[i]:
+                crops.append(None)
+                continue
+            x1, y1, x2, y2 = boxes[i]
+            h, w = img.shape[:2]
+            x1, y1 = max(int(round(x1)), 0), max(int(round(y1)), 0)
+            x2, y2 = min(int(round(x2)), w), min(int(round(y2)), h)
+            if x2 <= x1 or y2 <= y1:
+                valid[i] = False
+                crops.append(None)
+                continue
+            if self.use_mask and "masks" in out:
+                mask28 = out["masks"][i, 0]
+                full = np.asarray(
+                    paste_masks(
+                        jnp.asarray(mask28[None]),
+                        jnp.asarray(
+                            (boxes[i] * scales[i]
+                             + np.tile(pads[i], 2))[None]),
+                        self.input_size,
+                    )
+                )[0]
+                # map letterbox-scale mask into original coords crop region
+                ys = (np.arange(y1, y2) * scales[i] + pads[i][1]).astype(int)
+                xs = (np.arange(x1, x2) * scales[i] + pads[i][0]).astype(int)
+                ys = np.clip(ys, 0, self.input_size[0] - 1)
+                xs = np.clip(xs, 0, self.input_size[1] - 1)
+                m = (full[np.ix_(ys, xs)] >= self.mask_thr).astype(np.float32)
+                crop = img[y1:y2, x1:x2] * m[..., None]
+            else:
+                crop = img[y1:y2, x1:x2]
+            crops.append(crop)
+
+        if self.out_size is not None:
+            fixed = np.zeros((len(img_list), *self.out_size, 3), np.float32)
+            for i, c in enumerate(crops):
+                if c is None:
+                    continue
+                canvas, _, _ = letterbox_image(c.astype(np.float32),
+                                               self.out_size)
+                fixed[i] = canvas
+            crops = fixed
+        raw = {"scores": scores, "boxes": boxes,
+               "all_scores": np.where(out["valid"], all_scores, 0.0)}
+        return crops, np.asarray(valid), raw
+
+    def __call__(self, img: np.ndarray):
+        crops, valid, raw = self.batch([img])
+        assert valid[0], "Preproc4: low detection score"
+        if self.return_for_metrics:
+            # reference returns (rounded bbox, full score array) (ref :249-250)
+            return (np.round(raw["boxes"][0]).astype(int),
+                    raw["all_scores"][0])
+        return crops[0]
+
+
+class Preproc6(Preproc4):
+    """Head bbox crop (no alignment): Keypoint R-CNN boxes (ref ``:277-319``)."""
+
+    def __init__(self, model_fn=None, loader=None, thr: float = 0.9,
+                 out_size=None, input_size=(320, 320),
+                 return_for_metrics: bool = False):
+        super().__init__(model_fn, loader, thr=thr, use_mask=False,
+                         out_size=out_size, input_size=input_size,
+                         return_for_metrics=return_for_metrics)
+
+
+class IdentityPreproc:
+    """Passthrough (ref ``:741-743``)."""
+
+    def __call__(self, img):
+        return img
+
+    def batch(self, images):
+        arr = [np.asarray(i) for i in images]
+        return arr, np.ones(len(arr), bool), {}

@@ -1,0 +1,228 @@
+"""Gallery retrieval: embedding DB → sharded similarity matmul → top-k → tsv.
+
+Replaces the O(N·M·K²) CPU loop of ``/root/reference/generate_tsv_to_reproduce1.py``
+(SURVEY.md §2.8) with closed-form math: the reference's per-card score is the mean
+over all image pairs of ``(cos + 1) / 2`` (``mean_strategy_cal_scores``,
+ref ``:70-79``), and
+
+    mean_ij (â_i · b̂_j + 1) / 2  =  ((mean_i â_i) · (mean_j b̂_j) + 1) / 2,
+
+so a card is exactly represented by the *centroid of its l2-normalized image
+embeddings* and all query×gallery scores are one ``(Q, D) × (D, G)`` matmul —
+identical numbers, MXU-shaped. The gallery axis shards over the device mesh
+(``shard_map`` two-stage top-k) for scale-out.
+
+Rank parity details preserved:
+- clamp mean-strategy scores at 0 (ref ``:79``);
+- ensemble rule with per-species body thresholds ``[0.9069641, 0.985643]``
+  (ref ``:108-109``);
+- cards where both scores are 0 are skipped (ref ``:107``);
+- descending *stable* sort (python ``sorted`` semantics) — ties keep gallery
+  insertion order;
+- tsv columns ``query, matched_1, matched_3, matched_10, answer``
+  (ref ``:127-141``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Callable, Iterable
+
+import numpy as np
+import pandas as pd
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Per-species ensemble fallback thresholds (type 1 = dog, 2 = cat).
+ENSEMBLE_BODY_THRESHOLDS = (0.9069641, 0.985643)
+
+
+@dataclasses.dataclass
+class CardRecord:
+    """Per pet-card embeddings (``process_base`` output, ref ``:20-44``)."""
+
+    name: str
+    type: int  # animal type from card.json
+    head_vectors: np.ndarray  # (n, D) or (0,)
+    body_vectors: np.ndarray  # (m, D) or (0,)
+
+    @property
+    def has_head(self) -> bool:
+        return self.head_vectors is not None and len(self.head_vectors) > 0
+
+    @property
+    def has_body(self) -> bool:
+        return self.body_vectors is not None and len(self.body_vectors) > 0
+
+
+def _centroid(vectors: np.ndarray, dim: int) -> tuple[np.ndarray, bool]:
+    if vectors is None or len(vectors) == 0:
+        return np.zeros(dim, np.float32), False
+    v = np.asarray(vectors, np.float32)
+    v = v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    return v.mean(axis=0), True
+
+
+def build_card_matrix(cards: list[CardRecord], dim: int = 512):
+    """Stack card centroids: returns (head (C, D), body (C, D), has_head (C,),
+    has_body (C,), types (C,))."""
+    C = len(cards)
+    head = np.zeros((C, dim), np.float32)
+    body = np.zeros((C, dim), np.float32)
+    has_head = np.zeros(C, bool)
+    has_body = np.zeros(C, bool)
+    types = np.zeros(C, np.int32)
+    for i, c in enumerate(cards):
+        head[i], has_head[i] = _centroid(c.head_vectors, dim)
+        body[i], has_body[i] = _centroid(c.body_vectors, dim)
+        types[i] = c.type
+    return head, body, has_head, has_body, types
+
+
+def pairwise_card_scores(q: np.ndarray, g: np.ndarray,
+                         mesh: Mesh | None = None) -> np.ndarray:
+    """``(Q, D) × (G, D) → (Q, G)`` mean-strategy scores ``max(0, (dot+1)/2)``.
+
+    When a mesh is given, the gallery axis is sharded over its ``data`` axis and
+    XLA inserts the all-gather over ICI.
+    """
+
+    @jax.jit
+    def compute(qm, gm):
+        s = jnp.dot(qm, gm.T, preferred_element_type=jnp.float32)
+        return jnp.maximum((s + 1.0) / 2.0, 0.0)
+
+    qj = jnp.asarray(q)
+    gj = jnp.asarray(g)
+    if mesh is not None:
+        gj = jax.device_put(gj, NamedSharding(mesh, P("data", None)))
+        qj = jax.device_put(qj, NamedSharding(mesh, P()))
+    return np.asarray(compute(qj, gj))
+
+
+def ensemble_scores(
+    head_scores: np.ndarray,
+    body_scores: np.ndarray,
+    q_has_head: np.ndarray,
+    g_has_head: np.ndarray,
+    q_has_body: np.ndarray,
+    g_has_body: np.ndarray,
+    animal_type: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized reference ensemble rule (ref ``:101-109``).
+
+    ``score[0]`` (head) is set iff both cards have head vectors; ``score[1]``
+    (body) iff both have body vectors; cards with neither are excluded; use the
+    body score only when the query has no head vectors at all, or when the head
+    score is 0 and the body score exceeds the per-species threshold.
+
+    Returns ``(scores (Q, G), include (Q, G))``.
+    """
+    head_ok = q_has_head[:, None] & g_has_head[None, :]
+    body_ok = q_has_body[:, None] & g_has_body[None, :]
+    h = np.where(head_ok, head_scores, 0.0)
+    b = np.where(body_ok, body_scores, 0.0)
+    include = (h + b) != 0
+    thr = ENSEMBLE_BODY_THRESHOLDS[animal_type - 1]
+    use_body = (~q_has_head[:, None]) | ((h == 0) & (b > thr))
+    return np.where(use_body, b, h), include
+
+
+def topk_rows(
+    scores: np.ndarray,
+    include: np.ndarray,
+    gallery_names: list[str],
+    k: int = 100,
+) -> list[tuple]:
+    """Per query: stable descending sort, top-k, reference row tuple
+    ``(query-less) (top1, mean top3, mean top10, 'names,...')``.
+
+    Stability matches python ``sorted(key=-score)``: ties keep gallery order.
+    """
+    rows = []
+    Q, G = scores.shape
+    for qi in range(Q):
+        s = scores[qi]
+        inc = include[qi]
+        idx = np.nonzero(inc)[0]
+        if len(idx) == 0:
+            rows.append(None)
+            continue
+        order = idx[np.argsort(-s[idx], kind="stable")]
+        top = order[: min(k, len(order))]
+        top_scores = s[order]
+        rows.append((
+            float(top_scores[0]),
+            float(np.mean(top_scores[: min(3, len(top_scores))])),
+            float(np.mean(top_scores[: min(10, len(top_scores))])),
+            ",".join(gallery_names[i] for i in top),
+        ))
+    return rows
+
+
+def infer_dim(cards: Iterable[CardRecord], default: int = 512) -> int:
+    for c in cards:
+        if c.has_head:
+            return c.head_vectors.shape[-1]
+        if c.has_body:
+            return c.body_vectors.shape[-1]
+    return default
+
+
+def calc_scores(
+    init_cards: list[CardRecord],
+    extra_cards: list[CardRecord],
+    mesh: Mesh | None = None,
+    dim: int | None = None,
+    k: int = 100,
+) -> list[tuple]:
+    """Reference ``calc_scores`` (ref ``:90-124``) over centroid matmuls.
+
+    Returns rows ``(query, matched_1, matched_3, matched_10, answer)``.
+    """
+    if dim is None:
+        dim = infer_dim(list(init_cards) + list(extra_cards))
+    rows = []
+    for animal_type in sorted({c.type for c in init_cards}):
+        q_cards = [c for c in init_cards if c.type == animal_type]
+        g_cards = [c for c in extra_cards if c.type == animal_type]
+        if not q_cards or not g_cards:
+            continue
+        qh, qb, qhh, qhb, _ = build_card_matrix(q_cards, dim)
+        gh, gb, ghh, ghb, _ = build_card_matrix(g_cards, dim)
+
+        head_scores = pairwise_card_scores(qh, gh, mesh)
+        body_scores = pairwise_card_scores(qb, gb, mesh)
+        scores, include = ensemble_scores(
+            head_scores, body_scores, qhh, ghh, qhb, ghb, animal_type
+        )
+        g_names = [c.name for c in g_cards]
+        for c, row in zip(q_cards, topk_rows(scores, include, g_names, k)):
+            if row is not None:
+                rows.append((c.name, *row))
+    return rows
+
+
+def create_table(db: dict[Any, tuple[list[CardRecord], list[CardRecord]]],
+                 mesh: Mesh | None = None) -> pd.DataFrame:
+    """Reference ``create_table`` (ref ``:127-141``)."""
+    columns = ("query", "matched_1", "matched_3", "matched_10", "answer")
+    rows = []
+    for big_folder in db:
+        init_cards, extra_cards = db[big_folder]
+        rows.extend(calc_scores(init_cards, extra_cards, mesh))
+    return pd.DataFrame(data=rows, columns=columns)
+
+
+def backfill_missing(df: pd.DataFrame, stock_tsv: str | Path) -> pd.DataFrame:
+    """Fill queries with no predictions from a stock predictions tsv
+    (ref ``:233-245``)."""
+    stock = pd.read_csv(stock_tsv, sep="\t")
+    missing = stock[~stock["query"].isin(df["query"])]
+    return pd.concat([df, missing], ignore_index=True)
+
+
+def write_tsv(df: pd.DataFrame, path: str | Path) -> None:
+    df.to_csv(path, sep="\t", index=False)
