@@ -1,0 +1,60 @@
+"""Inference-pipeline factories: jitted detector forwards from checkpoints.
+
+Used by ``prepare_tables.py`` / ``transform_*.py`` / ``generate_tsv*.py`` the way
+the reference pipelines hard-code their ``configs/to_reproduce/**`` torch
+checkpoints (``preprocessor/__init__.py:205-208,263-266``). Each factory returns a
+``model_fn(images) -> detections`` closure over frozen variables.
+
+Checkpoint locations (override via env):
+- ``PFR_KEYPOINT_CKPT`` (default ``results/keypoint/checkpoints`` latest)
+- ``PFR_MASK_CKPT``     (default ``results/mask/checkpoints`` latest)
+"""
+
+import os
+from pathlib import Path
+
+import jax
+
+from pets_face_recognition_tpu.engine import latest_checkpoint, load_params
+from pets_face_recognition_tpu.models.rcnn import (
+    keypointrcnn_resnet50_fpn,
+    maskrcnn_resnet50_fpn,
+)
+
+_INPUT_SIZE = (320, 320)
+
+
+def _resolve(env: str, default: str) -> Path:
+    path = Path(os.environ.get(env, default))
+    if path.is_dir() and not (path / "_CHECKPOINT_METADATA").exists():
+        found = latest_checkpoint(path)
+        if found is not None:
+            return found
+    return path
+
+
+def _jitted_forward(model, ckpt_path: Path):
+    params, batch_stats = load_params(ckpt_path)
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    @jax.jit
+    def model_fn(images):
+        return model.apply(variables, images, train=False)
+
+    return model_fn
+
+
+def keypoint_pipeline():
+    ckpt = _resolve("PFR_KEYPOINT_CKPT", "results/keypoint/checkpoints")
+    model = keypointrcnn_resnet50_fpn(num_classes=2, num_keypoints=3,
+                                      box_detections_per_img=1)
+    return _jitted_forward(model, ckpt)
+
+
+def mask_pipeline():
+    ckpt = _resolve("PFR_MASK_CKPT", "results/mask/checkpoints")
+    model = maskrcnn_resnet50_fpn(num_classes=2, box_detections_per_img=3)
+    return _jitted_forward(model, ckpt)
+
+
+input_size = _INPUT_SIZE

@@ -4,6 +4,7 @@ Export surface mirrors the reference ``data_loading/__init__.py:1-5``.
 """
 
 from .dataset import (
+    ConcatDataset,
     RecDataset,
     RecSubset,
     SimpleDataset,
@@ -16,6 +17,7 @@ from .pairs import PairGenerator
 from .loader import DataLoader, default_collate
 
 __all__ = [
+    "ConcatDataset",
     "RecDataset",
     "RecSubset",
     "SimpleDataset",

@@ -189,6 +189,32 @@ class RecSubset:
         return data
 
 
+class ConcatDataset:
+    """Concatenation of map-style datasets (torch ConcatDataset semantics, used by
+    the FE configs to merge data_25 + petfinder crops,
+    ``configs/cat_fe/cat_fe_head.py:58``)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._offsets = []
+        total = 0
+        for d in self.datasets:
+            self._offsets.append(total)
+            total += len(d)
+        self._total = total
+
+    def __len__(self):
+        return self._total
+
+    def __getitem__(self, item):
+        if item < 0:
+            item += self._total
+        for ds, off in zip(reversed(self.datasets), reversed(self._offsets)):
+            if item >= off:
+                return ds[item - off]
+        raise IndexError(item)
+
+
 class SimpleDataset:
     """(image, targets) detection dataset over pickled annotation tables
     (ref ``dataset.py:145-186``). Targets dict holds ``boxes (N,4) xyxy``,

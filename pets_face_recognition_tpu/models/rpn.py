@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..losses import optax_sigmoid_ce, smooth_l1
 from ..ops.boxes import clip_boxes, decode_boxes, encode_boxes, pairwise_iou
-from ..ops.nms import batched_nms
+from ..ops.nms import nms
 
 
 class RPNHead(nn.Module):

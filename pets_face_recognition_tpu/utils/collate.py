@@ -96,6 +96,41 @@ def detection_collate(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Reference-named entry points (utils/collate_fn.py:7-34). The reference's
+# list-collates hand torchvision variable-size image lists; their TPU-native
+# equivalents produce padded fixed-shape batches with the same information.
+# ---------------------------------------------------------------------------
+
+
+def detection_collate_fn(samples, image_size=(640, 640), max_boxes=8):
+    """Stacked detection collate (ref ``detection_collate_fn``)."""
+    return detection_collate(samples, image_size, max_boxes=max_boxes)
+
+
+def detection_collate_list_fn(samples, image_size=(640, 640), max_boxes=8):
+    """List-of-images collate → padded batch with masks
+    (ref ``detection_collate_list_fn``)."""
+    return detection_collate(samples, image_size, max_boxes=max_boxes,
+                             with_masks=any("masks" in t for _, t in samples))
+
+
+def key_points_collate_list_fn(samples, image_size=(640, 640), max_boxes=8,
+                               num_keypoints=3):
+    """Keypoint collate (ref ``key_points_collate_list_fn``)."""
+    return detection_collate(samples, image_size, max_boxes=max_boxes,
+                             num_keypoints=num_keypoints)
+
+
+def list_img_rec_collate_fn(samples):
+    """FE collate over fixed-size crops (ref ``list_img_rec_collate_fn``)."""
+    import numpy as _np
+
+    return {
+        k: _np.stack([_np.asarray(s[k]) for s in samples]) for k in samples[0]
+    }
+
+
 class DetectionCollate:
     """Picklable configured collate (for DataLoader workers)."""
 

@@ -106,6 +106,44 @@ def to_model_input(img: np.ndarray) -> np.ndarray:
     return np.asarray(img, np.float32) / 255.0
 
 
+class FETrainAug:
+    """FE training augmentation matching the reference compose
+    (``configs/cat_fe/cat_fe_head.py:18-27``): 10% sharpness-0 (blur), 30%
+    autocontrast, random 220×220 crop resized back to 224, ±5° rotation; output is
+    float32 HWC in [0, 1] (ToTensor semantics minus the CHW transpose)."""
+
+    def __init__(self, rng: np.random.RandomState | None = None,
+                 crop: int = 220, size: int = 224, degrees: float = 5.0):
+        self.rng = rng or np.random.RandomState()
+        self.crop = crop
+        self.size = size
+        self.degrees = degrees
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        rng = self.rng
+        pil = Image.fromarray(np.asarray(img, np.uint8))
+        if rng.rand() < 0.1:
+            pil = ImageEnhance.Sharpness(pil).enhance(0.0)
+        if rng.rand() < 0.3:
+            pil = ImageOps.autocontrast(pil)
+        w, h = pil.size
+        if w >= self.crop and h >= self.crop:
+            x0 = rng.randint(0, w - self.crop + 1)
+            y0 = rng.randint(0, h - self.crop + 1)
+            pil = pil.crop((x0, y0, x0 + self.crop, y0 + self.crop))
+        pil = pil.resize((self.size, self.size), Image.BILINEAR)
+        angle = rng.uniform(-self.degrees, self.degrees)
+        pil = pil.rotate(angle, resample=Image.NEAREST)
+        return np.asarray(pil, np.float32) / 255.0
+
+
+class FEValAug:
+    """FE validation transform: just ToTensor semantics (float [0, 1])."""
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        return np.asarray(img, np.float32) / 255.0
+
+
 # ImageNet statistics used by torchvision-pretrained backbones.
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
