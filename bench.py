@@ -24,6 +24,10 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True):
     import jax
     import jax.numpy as jnp
 
+    from pets_face_recognition_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from pets_face_recognition_tpu.models import resnet50_embedder
     from pets_face_recognition_tpu.models.fpn import BackboneWithFPN
     from pets_face_recognition_tpu.models.rcnn import GeneralizedRCNN, RCNNConfig

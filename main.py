@@ -15,7 +15,11 @@ from pathlib import Path
 
 from pets_face_recognition_tpu.engine import Controller, MetricsLogger, configure_trainer
 from pets_face_recognition_tpu.parallel import create_mesh
-from pets_face_recognition_tpu.utils import get_config, is_main_process
+from pets_face_recognition_tpu.utils import (
+    enable_compilation_cache,
+    get_config,
+    is_main_process,
+)
 
 
 def parse_args():
@@ -51,6 +55,7 @@ def setup_run(config, config_path: Path):
 
 def main(controller_cls=Controller):
     warnings.simplefilter("ignore")
+    enable_compilation_cache()
     args = parse_args()
     config = get_config(args.config)
     logger = setup_run(config, args.config)

@@ -51,6 +51,7 @@ class Trainer:
         log_every_n_steps: int = 50,
         fast_dev_run: bool = False,
         resume_from_checkpoint: str | Path | None = None,
+        profiler: str | Path | None = None,
     ):
         self.config = config
         self.logger = logger
@@ -64,6 +65,11 @@ class Trainer:
         self.log_every_n_steps = log_every_n_steps
         self.fast_dev_run = fast_dev_run
         self.resume_from_checkpoint = resume_from_checkpoint
+        # Profiling: a directory path enables jax.profiler traces of epoch 0 and
+        # per-phase host timing (data vs step). The reference only plumbs PL's
+        # profiler through unused (engine/trainer.py:112,259); this is the
+        # TPU-native design (SURVEY.md §5 "tracing/profiling").
+        self.profiler_dir = Path(profiler) if profiler else None
         if fast_dev_run:
             self.max_epochs = 1
             self.limit_train_batches = 1
@@ -136,12 +142,23 @@ class Trainer:
             self.current_epoch = epoch
             epoch_start = time.time()
             losses = []
+            profiling = self.profiler_dir is not None and epoch == start_epoch
+            if profiling:
+                self.profiler_dir.mkdir(parents=True, exist_ok=True)
+                jax.profiler.start_trace(str(self.profiler_dir))
+            data_time = step_time = 0.0
+            t_mark = time.time()
             for batch_idx, batch in enumerate(train_loader):
                 if self.limit_train_batches and batch_idx >= self.limit_train_batches:
                     break
                 step_rng = jax.random.fold_in(rng, int(state.step))
                 device_batch = shard_batch(_to_jax(batch), self.mesh)
-                state, metrics = train_step(state, device_batch, step_rng)
+                data_time += time.time() - t_mark
+                t_mark = time.time()
+                with jax.profiler.StepTraceAnnotation("train", step_num=int(state.step)):
+                    state, metrics = train_step(state, device_batch, step_rng)
+                step_time += time.time() - t_mark
+                t_mark = time.time()
                 losses.append(metrics["loss"])
                 if (batch_idx + 1) % self.log_every_n_steps == 0 and self.logger:
                     self.logger.log_metrics(
@@ -156,11 +173,17 @@ class Trainer:
                 if self._stop_requested:
                     break
 
+            if profiling:
+                jax.block_until_ready(state.step)
+                jax.profiler.stop_trace()
+                print(f"[trainer] profile written to {self.profiler_dir}")
             mean_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
             if self.logger:
                 self.logger.log_metrics(
                     {"epoch_loss": mean_loss,
-                     "epoch_time_s": time.time() - epoch_start},
+                     "epoch_time_s": time.time() - epoch_start,
+                     "data_time_s": data_time,
+                     "step_time_s": step_time},
                     int(state.step),
                 )
             self.validate(controller, state, epoch)

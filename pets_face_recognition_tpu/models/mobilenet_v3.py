@@ -1,0 +1,134 @@
+"""MobileNetV3-Large backbone (flax, NHWC).
+
+The reference's lightweight detector variants build on torchvision
+``mobilenet_v3_large`` features (``/root/reference/models/detection/rcnn.py:13-43,
+104-126``). Standard MBV3-Large recipe (Howard et al.): hard-swish stem, inverted
+residual blocks with optional squeeze-excite and hard-sigmoid gating; the feature
+pyramid taps the stride-{4, 8, 16, 32} block outputs as ``c2..c5``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def _hard_sigmoid(x):
+    return jnp.clip(x / 6.0 + 0.5, 0.0, 1.0)
+
+
+def _hard_swish(x):
+    return x * _hard_sigmoid(x)
+
+
+class SqueezeExcite(nn.Module):
+    channels: int
+    squeeze: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.relu(nn.Conv(self.squeeze, (1, 1), dtype=self.dtype,
+                            name="fc1")(s))
+        s = _hard_sigmoid(nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                                  name="fc2")(s))
+        return x * s
+
+
+class InvertedResidual(nn.Module):
+    exp: int
+    out: int
+    kernel: int
+    stride: int
+    use_se: bool
+    use_hs: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = _hard_swish if self.use_hs else nn.relu
+        norm = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.99, epsilon=1e-3,
+            dtype=jnp.float32, name=name)
+        inp = x.shape[-1]
+        y = x
+        if self.exp != inp:
+            y = act(norm("bn_expand")(
+                nn.Conv(self.exp, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="expand")(y)))
+        pad = (self.kernel - 1) // 2
+        y = act(norm("bn_dw")(
+            nn.Conv(self.exp, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=[(pad, pad), (pad, pad)],
+                    feature_group_count=self.exp, use_bias=False,
+                    dtype=self.dtype, name="dwconv")(y)))
+        if self.use_se:
+            y = SqueezeExcite(self.exp, max(self.exp // 4, 8),
+                              dtype=self.dtype, name="se")(y)
+        y = norm("bn_project")(
+            nn.Conv(self.out, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project")(y))
+        if self.stride == 1 and inp == self.out:
+            y = y + x
+        return y
+
+
+# (expansion, out, kernel, stride, SE, hard-swish) — MBV3-Large table.
+_MBV3_LARGE: Sequence[tuple] = (
+    (16, 16, 3, 1, False, False),
+    (64, 24, 3, 2, False, False),   # -> stride 4 after this block
+    (72, 24, 3, 1, False, False),   # c2 tap
+    (72, 40, 5, 2, True, False),
+    (120, 40, 5, 1, True, False),
+    (120, 40, 5, 1, True, False),   # c3 tap (stride 8)
+    (240, 80, 3, 2, False, True),
+    (200, 80, 3, 1, False, True),
+    (184, 80, 3, 1, False, True),
+    (184, 80, 3, 1, False, True),
+    (480, 112, 3, 1, True, True),
+    (672, 112, 3, 1, True, True),   # c4 tap (stride 16)
+    (672, 160, 5, 2, True, True),
+    (960, 160, 5, 1, True, True),
+    (960, 160, 5, 1, True, True),   # c5 tap (stride 32)
+)
+_TAPS = {2: "c2", 5: "c3", 11: "c4", 14: "c5"}
+
+
+class MobileNetV3Large(nn.Module):
+    num_classes: int = 0
+    features_only: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.99, epsilon=1e-3,
+            dtype=jnp.float32, name=name)
+        x = _hard_swish(norm("bn_stem")(
+            nn.Conv(16, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=self.dtype, name="stem")(x)))
+        feats = {}
+        for i, (exp, out, k, s, se, hs) in enumerate(_MBV3_LARGE):
+            x = InvertedResidual(exp, out, k, s, se, hs, dtype=self.dtype,
+                                 name=f"block{i}")(x, train=train)
+            if i in _TAPS:
+                feats[_TAPS[i]] = x
+        if self.features_only:
+            return feats
+        x = _hard_swish(norm("bn_head")(
+            nn.Conv(960, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="head_conv")(x)))
+        x = jnp.mean(x, axis=(1, 2))
+        x = _hard_swish(nn.Dense(1280, dtype=self.dtype, name="head_fc1")(x))
+        if self.num_classes:
+            x = nn.Dense(self.num_classes, dtype=jnp.float32,
+                         name="head_fc2")(x)
+        return x
+
+
+def mobilenet_v3_large(**kw) -> MobileNetV3Large:
+    return MobileNetV3Large(**kw)

@@ -109,15 +109,24 @@ class GeneralizedRCNN(nn.Module):
         return anchors, level_ids, strides
 
     def _pool_levels(self, feats):
-        """p2..p5 (box/mask/kp heads never see p6, torchvision convention)."""
-        keys = sorted(feats)[:-1] if len(feats) > 4 else sorted(feats)
-        return [feats[k] for k in keys]
+        """All FPN levels except the extra max-pool level (torchvision pools RoIs
+        from the named FPN outputs only). Returns (names, tensors)."""
+        keys = sorted(feats)[:-1]
+        return keys, [feats[k] for k in keys]
 
-    def _box_forward(self, pool_feats, boxes_flat, batch_idx, strides):
-        pooled = rh.multilevel_roi_align(
-            pool_feats, boxes_flat, batch_idx, (7, 7),
+    def _roi_align(self, pool_names, pool_feats, boxes_flat, batch_idx,
+                   strides, output_size):
+        levels = [int(n[1:]) for n in pool_names]
+        return rh.multilevel_roi_align(
+            pool_feats, boxes_flat, batch_idx, output_size,
             tuple(strides[: len(pool_feats)]),
+            min_level=min(levels), max_level=max(levels),
         )
+
+    def _box_forward(self, pool_names, pool_feats, boxes_flat, batch_idx,
+                     strides):
+        pooled = self._roi_align(pool_names, pool_feats, boxes_flat, batch_idx,
+                                 strides, (7, 7))
         return self.box_predictor(self.box_head(pooled))
 
     # ------------------------------------------------------------------ #
@@ -129,21 +138,21 @@ class GeneralizedRCNN(nn.Module):
         feats = self.backbone(images, train=train)
         anchors, level_ids, strides = self._anchors_and_levels(feats, image_size)
         objectness, deltas = self.rpn_head(feats)
-        pool_feats = self._pool_levels(feats)
+        pool_names, pool_feats = self._pool_levels(feats)
 
         if train:
             return self._forward_train(
-                images, targets, feats, pool_feats, anchors, level_ids,
+                images, targets, feats, pool_names, pool_feats, anchors, level_ids,
                 strides, objectness, deltas, image_size,
             )
         return self._forward_eval(
-            feats, pool_feats, anchors, level_ids, strides, objectness,
+            feats, pool_names, pool_feats, anchors, level_ids, strides, objectness,
             deltas, image_size,
         )
 
     # ------------------------------------------------------------------ #
 
-    def _forward_train(self, images, targets, feats, pool_feats, anchors,
+    def _forward_train(self, images, targets, feats, pool_names, pool_feats, anchors,
                        level_ids, strides, objectness, deltas, image_size):
         c = self.cfg
         B = images.shape[0]
@@ -182,7 +191,7 @@ class GeneralizedRCNN(nn.Module):
         boxes_flat = boxes.reshape(B * S, 4)
         batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), S)
         class_logits, box_deltas = self._box_forward(
-            pool_feats, boxes_flat, batch_idx, strides
+            pool_names, pool_feats, boxes_flat, batch_idx, strides
         )
 
         matched_boxes = jnp.take_along_axis(
@@ -197,10 +206,9 @@ class GeneralizedRCNN(nn.Module):
         )
 
         if c.with_mask:
-            pooled = rh.multilevel_roi_align(
-                pool_feats, boxes_flat, batch_idx,
+            pooled = self._roi_align(
+                pool_names, pool_feats, boxes_flat, batch_idx, strides,
                 (c.mask_roi_size, c.mask_roi_size),
-                tuple(strides[: len(pool_feats)]),
             )
             mask_logits = self.mask_head(pooled)  # (B*S, 28, 28, C)
             gt_masks = jax.vmap(
@@ -212,10 +220,9 @@ class GeneralizedRCNN(nn.Module):
             )
 
         if c.num_keypoints:
-            pooled = rh.multilevel_roi_align(
-                pool_feats, boxes_flat, batch_idx,
+            pooled = self._roi_align(
+                pool_names, pool_feats, boxes_flat, batch_idx, strides,
                 (c.keypoint_roi_size, c.keypoint_roi_size),
-                tuple(strides[: len(pool_feats)]),
             )
             kp_logits = self.keypoint_head(pooled)  # (B*S, 56, 56, K)
             gt_kps = jnp.take_along_axis(
@@ -231,7 +238,7 @@ class GeneralizedRCNN(nn.Module):
 
     # ------------------------------------------------------------------ #
 
-    def _forward_eval(self, feats, pool_feats, anchors, level_ids, strides,
+    def _forward_eval(self, feats, pool_names, pool_feats, anchors, level_ids, strides,
                       objectness, deltas, image_size):
         c = self.cfg
         B = objectness.shape[0]
@@ -244,7 +251,7 @@ class GeneralizedRCNN(nn.Module):
         boxes_flat = proposals.reshape(B * S, 4)
         batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), S)
         class_logits, box_deltas = self._box_forward(
-            pool_feats, boxes_flat, batch_idx, strides
+            pool_names, pool_feats, boxes_flat, batch_idx, strides
         )
 
         post = jax.vmap(
@@ -271,10 +278,9 @@ class GeneralizedRCNN(nn.Module):
         det_bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), D)
 
         if c.with_mask:
-            pooled = rh.multilevel_roi_align(
-                pool_feats, det_flat, det_bidx,
+            pooled = self._roi_align(
+                pool_names, pool_feats, det_flat, det_bidx, strides,
                 (c.mask_roi_size, c.mask_roi_size),
-                tuple(strides[: len(pool_feats)]),
             )
             mask_logits = self.mask_head(pooled)  # (B*D, 28, 28, C)
             per_class = jnp.take_along_axis(
@@ -285,10 +291,9 @@ class GeneralizedRCNN(nn.Module):
             out["masks"] = jax.nn.sigmoid(per_class).reshape(B, D, 28, 28)
 
         if c.num_keypoints:
-            pooled = rh.multilevel_roi_align(
-                pool_feats, det_flat, det_bidx,
+            pooled = self._roi_align(
+                pool_names, pool_feats, det_flat, det_bidx, strides,
                 (c.keypoint_roi_size, c.keypoint_roi_size),
-                tuple(strides[: len(pool_feats)]),
             )
             kp_logits = self.keypoint_head(pooled)
             kps, kp_scores = rh.heatmaps_to_keypoints(kp_logits, det_flat)
@@ -358,4 +363,81 @@ def fasterrcnn_resnet50_fpn(num_classes: int = 2, **overrides) -> GeneralizedRCN
     cfg = RCNNConfig(num_classes=num_classes, **overrides)
     backbone = BackboneWithFPN(backbone=resnet50(features_only=True,
                                                  frozen_stats=True))
+    return GeneralizedRCNN(backbone=backbone, cfg=cfg)
+
+
+def mobile_net_v3_large_rcnn(**overrides) -> GeneralizedRCNN:
+    """Lightweight Faster R-CNN on MobileNetV3-Large, 2-level FPN over the last
+    two feature stages + max-pool level, 5-size anchors per level, 1 det/img
+    (reference ``models/detection/rcnn.py:13-43``)."""
+    from .mobilenet_v3 import mobilenet_v3_large
+
+    kw = dict(
+        num_classes=2,
+        anchor_sizes=((32, 64, 128, 256, 512),) * 3,
+        aspect_ratios=(0.5, 1.0, 2.0),
+        rpn_pre_nms_top_n_test=150,
+        rpn_post_nms_top_n_test=150,
+        box_detections_per_img=1,
+    )
+    kw.update(overrides)
+    cfg = RCNNConfig(**kw)
+    backbone = BackboneWithFPN(
+        backbone=mobilenet_v3_large(features_only=True),
+        in_levels=("c4", "c5"),
+    )
+    return GeneralizedRCNN(backbone=backbone, cfg=cfg)
+
+
+def convnetx_tiny_rcnn(**overrides) -> GeneralizedRCNN:
+    """ConvNeXt-T Faster R-CNN, 2-level FPN, 10:14 aspect ratios (reference
+    ``models/detection/rcnn.py:46-75``; factory name keeps the reference's typo
+    for API parity)."""
+    from .convnext import convnext_tiny
+
+    kw = dict(
+        num_classes=2,
+        anchor_sizes=((32, 64, 128, 256, 512),) * 3,
+        aspect_ratios=(10 / 14, 1.0, 14 / 10),
+        rpn_pre_nms_top_n_test=150,
+        rpn_post_nms_top_n_test=150,
+        box_detections_per_img=1,
+    )
+    kw.update(overrides)
+    cfg = RCNNConfig(**kw)
+    backbone = BackboneWithFPN(
+        backbone=convnext_tiny(features_only=True),
+        in_levels=("c4", "c5"),
+    )
+    return GeneralizedRCNN(backbone=backbone, cfg=cfg)
+
+
+def convnext_tiny_keypoint_rcnn(**overrides) -> GeneralizedRCNN:
+    """ConvNeXt-T Keypoint R-CNN over the full 4-level pyramid (reference
+    ``models/detection/rcnn.py:78-101``)."""
+    from .convnext import convnext_tiny
+
+    kw = dict(num_classes=2, num_keypoints=3, box_detections_per_img=1)
+    kw.update(overrides)
+    cfg = RCNNConfig(**kw)
+    backbone = BackboneWithFPN(backbone=convnext_tiny(features_only=True))
+    return GeneralizedRCNN(backbone=backbone, cfg=cfg)
+
+
+def mobile_net_v3_large_keypoint_rcnn(**overrides) -> GeneralizedRCNN:
+    """MobileNetV3-Large Keypoint R-CNN (reference
+    ``models/detection/rcnn.py:104-126``)."""
+    from .mobilenet_v3 import mobilenet_v3_large
+
+    kw = dict(
+        num_classes=2, num_keypoints=3, box_detections_per_img=1,
+        anchor_sizes=((32, 64, 128, 256, 512),) * 3,
+        aspect_ratios=(0.5, 1.0, 2.0),
+    )
+    kw.update(overrides)
+    cfg = RCNNConfig(**kw)
+    backbone = BackboneWithFPN(
+        backbone=mobilenet_v3_large(features_only=True),
+        in_levels=("c4", "c5"),
+    )
     return GeneralizedRCNN(backbone=backbone, cfg=cfg)

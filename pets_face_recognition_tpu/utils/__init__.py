@@ -155,6 +155,25 @@ def get_config(path: str | os.PathLike) -> Config:
     return cfg
 
 
+def enable_compilation_cache(path: str | os.PathLike | None = None) -> None:
+    """Enable JAX's persistent compilation cache.
+
+    The TPU backend in this environment compiles remotely (~minutes for the big
+    detection graphs); caching compiled executables across processes makes bench
+    and entry-point reruns start in seconds.
+    """
+    import jax
+
+    cache_dir = Path(path) if path else Path.home() / ".cache" / "pfr_jax_cache"
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - older jax flag names
+        pass
+
+
 def is_main_process() -> bool:
     """True on the process that should own logging / run-dir IO.
 
