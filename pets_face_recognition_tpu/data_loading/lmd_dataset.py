@@ -22,6 +22,44 @@ from .dataset import rot90_boxes, rot90_keypoints
 from .transforms import rotate_bbox, rotate_image, rotate_points
 
 
+class LMDDataset:
+    """CelebA + Oxford mixing dataset (human face landmarks paired with random
+    animal crops — reference ``lmd_dataset.py:10-45``; unused by production
+    configs, kept for capability parity).
+
+    ``celeba[item]`` must yield ``(image, (bbox, landmarks))``; ``oxford`` is an
+    :class:`~.oxford.OxfordSubset` with box targets.
+    """
+
+    def __init__(self, celeba, oxford, oxford_transform=None,
+                 seed: int | None = None):
+        self.celeba = celeba
+        self.oxford_dataset = oxford
+        self.oxford_transform = oxford_transform
+        rng = np.random.RandomState(seed)
+        reps = 1 + len(celeba) // len(oxford)
+        self.support_indexing = rng.permutation(
+            list(range(len(oxford))) * reps
+        )[: len(celeba)]
+
+    def __len__(self):
+        return len(self.celeba)
+
+    def __getitem__(self, item: int):
+        celeba_img, (celeba_bbox, celeba_lmd) = self.celeba[item]
+        oxford_img, oxford_t = self.oxford_dataset[self.support_indexing[item]]
+        box = np.asarray(oxford_t["boxes"][0], int)
+        crop = np.asarray(
+            Image.fromarray(np.asarray(oxford_img)).crop(tuple(box))
+        )
+        if self.oxford_transform:
+            crop = self.oxford_transform(crop)
+        lmd = np.asarray(celeba_lmd, np.float32).copy()
+        for i in range(len(lmd)):
+            lmd[i] = lmd[i] / celeba_img.shape[i % 2]
+        return {"human": celeba_img, "animal": crop, "lmd": lmd[:6]}
+
+
 class CatLMDDataset:
     def __init__(self, path: str | Path):
         path = Path(path)

@@ -259,5 +259,12 @@ def configure_trainer(config, logger=None, **overrides) -> Trainer:
         val_check_interval=config.get("val_check_interval", 1.0),
         enable_checkpointing=config.get("enable_checkpointing", True),
     )
+    # configs may carry extra trainer knobs (reference `trainer_kwargs`,
+    # configs/cat_fe/cat_fe_head.py:147-151); unknown torch-only keys are dropped
+    extra = dict(config.get("trainer_kwargs", {}) or {})
+    known = {"limit_train_batches", "limit_val_batches", "log_every_n_steps",
+             "fast_dev_run", "resume_from_checkpoint", "profiler",
+             "val_check_interval", "enable_checkpointing", "max_epochs"}
+    kwargs.update({k: v for k, v in extra.items() if k in known})
     kwargs.update(overrides)
     return Trainer(**kwargs)

@@ -13,6 +13,7 @@ from .mesh import (
     shard_batch,
     local_mesh,
 )
+from .distributed import device_info, init_distributed
 
 __all__ = [
     "MeshSpec",
@@ -21,4 +22,6 @@ __all__ = [
     "replicated",
     "shard_batch",
     "local_mesh",
+    "init_distributed",
+    "device_info",
 ]

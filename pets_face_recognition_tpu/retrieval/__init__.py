@@ -102,6 +102,66 @@ def pairwise_card_scores(q: np.ndarray, g: np.ndarray,
     return np.asarray(compute(qj, gj))
 
 
+def sharded_topk_scores(
+    queries: np.ndarray,
+    gallery: np.ndarray,
+    k: int,
+    mesh: Mesh,
+    axis: str = "data",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed two-stage top-k over a gallery sharded across the mesh.
+
+    Stage 1 (per shard, via ``shard_map``): local ``(Q, D) × (D, G/n)`` matmul +
+    local ``lax.top_k`` — only ``(Q, k)`` per shard crosses ICI instead of the full
+    score matrix. Stage 2: global top-k over the gathered ``n·k`` candidates.
+
+    This is the scale-out replacement for the reference's CPU gallery loop
+    (SURVEY.md §2.11): scores are the mean-strategy card scores
+    ``max(0, (dot + 1)/2)``.
+
+    Returns ``(scores (Q, k), indices (Q, k))`` into the full gallery.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n_shards = mesh.shape[axis]
+    G = gallery.shape[0]
+    pad = (-G) % n_shards
+    if pad:
+        gallery = np.concatenate(
+            [gallery, np.zeros((pad, gallery.shape[1]), gallery.dtype)]
+        )
+    shard_size = gallery.shape[0] // n_shards
+    kk = min(k, shard_size)
+
+    def local_topk(q, g_shard):
+        s = jnp.dot(q, g_shard.T, preferred_element_type=jnp.float32)
+        s = jnp.maximum((s + 1.0) / 2.0, 0.0)
+        # mask padding rows of the last shard
+        shard_id = jax.lax.axis_index(axis)
+        offset = shard_id * shard_size
+        local_idx = jnp.arange(shard_size)
+        valid = (offset + local_idx) < G
+        s = jnp.where(valid[None, :], s, -jnp.inf)
+        top_s, top_i = jax.lax.top_k(s, kk)
+        return top_s[None], (top_i + offset)[None]  # leading shard axis
+
+    fn = shard_map(
+        local_topk,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(axis, None, None), P(axis, None, None)),
+    )
+    top_s, top_i = fn(jnp.asarray(queries, jnp.float32),
+                      jnp.asarray(gallery, jnp.float32))
+    # (n, Q, kk) -> (Q, n*kk) -> global top-k
+    Q = queries.shape[0]
+    all_s = jnp.transpose(top_s, (1, 0, 2)).reshape(Q, -1)
+    all_i = jnp.transpose(top_i, (1, 0, 2)).reshape(Q, -1)
+    final_s, pos = jax.lax.top_k(all_s, min(k, all_s.shape[1]))
+    final_i = jnp.take_along_axis(all_i, pos, axis=1)
+    return np.asarray(final_s), np.asarray(final_i)
+
+
 def ensemble_scores(
     head_scores: np.ndarray,
     body_scores: np.ndarray,

@@ -156,3 +156,26 @@ def test_sharded_gallery_matches_single_device(rng, eight_devices):
     plain = pairwise_card_scores(q, g)
     sharded = pairwise_card_scores(q, g, mesh=mesh)
     np.testing.assert_allclose(plain, sharded, atol=1e-6)
+
+
+def test_sharded_topk_matches_dense(rng, eight_devices):
+    from pets_face_recognition_tpu.parallel import create_mesh
+    from pets_face_recognition_tpu.retrieval import sharded_topk_scores
+
+    mesh = create_mesh()
+    q = rng.randn(5, 16).astype(np.float32)
+    g = rng.randn(103, 16).astype(np.float32)  # NOT divisible by 8: pad path
+    k = 10
+    scores, idx = sharded_topk_scores(q, g, k, mesh)
+    dense = np.maximum((q @ g.T + 1.0) / 2.0, 0.0)
+    for qi in range(5):
+        want_order = np.argsort(-dense[qi], kind="stable")[:k]
+        np.testing.assert_allclose(
+            np.sort(scores[qi])[::-1], np.sort(dense[qi][want_order])[::-1],
+            atol=1e-5,
+        )
+        # indices recover the same score set
+        np.testing.assert_allclose(
+            np.sort(dense[qi][idx[qi]]), np.sort(dense[qi][want_order]),
+            atol=1e-5,
+        )
