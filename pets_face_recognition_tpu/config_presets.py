@@ -55,8 +55,20 @@ def build_fe_config(
     run_name: str = "run",
     output: str = "results",
     num_workers: int = 8,
+    compute_dtype: str = "auto",
 ) -> dict:
-    """Build the full FE config dict (reference ``cat_fe_head.py`` recipe)."""
+    """Build the full FE config dict (reference ``cat_fe_head.py`` recipe).
+
+    ``compute_dtype``: 'auto' = bfloat16 on TPU / float32 elsewhere (params and
+    normalization stats stay float32 either way).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if compute_dtype == "auto":
+        dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    else:
+        dtype = jnp.dtype(compute_dtype)
     rng_seed = seed
     train_aug = FETrainAug(np.random.RandomState(seed), crop=crop, size=size)
     val_aug = FEValAug()
@@ -95,7 +107,7 @@ def build_fe_config(
     steps_per_epoch = max(len(train) // train_batch_size, 1)
 
     def model():
-        return resnet50_embedder(embedding_dim=emb_size)
+        return resnet50_embedder(embedding_dim=emb_size, dtype=dtype)
 
     def loss(config, m):
         return SoftmaxBasedMetricLearning(

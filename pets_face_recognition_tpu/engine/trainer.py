@@ -52,6 +52,7 @@ class Trainer:
         fast_dev_run: bool = False,
         resume_from_checkpoint: str | Path | None = None,
         profiler: str | Path | None = None,
+        terminate_on_nan: bool = True,
     ):
         self.config = config
         self.logger = logger
@@ -70,6 +71,9 @@ class Trainer:
         # profiler through unused (engine/trainer.py:112,259); this is the
         # TPU-native design (SURVEY.md §5 "tracing/profiling").
         self.profiler_dir = Path(profiler) if profiler else None
+        # NaN guard (reference plumbs torch detect_anomaly / terminate_on_nan,
+        # engine/trainer.py:119,472-478): stop + checkpoint on non-finite loss.
+        self.terminate_on_nan = terminate_on_nan
         if fast_dev_run:
             self.max_epochs = 1
             self.limit_train_batches = 1
@@ -160,6 +164,17 @@ class Trainer:
                 step_time += time.time() - t_mark
                 t_mark = time.time()
                 losses.append(metrics["loss"])
+                # NaN guard only at the logging cadence: a per-step host read
+                # would force a device sync and break async dispatch.
+                if (
+                    self.terminate_on_nan
+                    and (batch_idx + 1) % self.log_every_n_steps == 0
+                    and not np.isfinite(float(metrics["loss"]))
+                ):
+                    print(f"[trainer] non-finite loss at step {int(state.step)}"
+                          " — stopping (terminate_on_nan)")
+                    self._stop_requested = True
+                    break
                 if (batch_idx + 1) % self.log_every_n_steps == 0 and self.logger:
                     self.logger.log_metrics(
                         {k: float(v) for k, v in metrics.items()
