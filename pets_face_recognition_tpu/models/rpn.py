@@ -92,45 +92,61 @@ def generate_proposals(
     ]
     k = min(pre_nms_top_n, max(len(s) for s in level_slices))
     anchors = jnp.asarray(anchors)
+    B = objectness.shape[0]
+    L = num_levels
 
-    def per_image(scores, dts):
-        lvl_boxes, lvl_scores, lvl_valid = [], [], []
-        for sl in level_slices:
-            s = scores[sl[0] : sl[0] + len(sl)]
-            d = dts[sl[0] : sl[0] + len(sl)]
-            a = anchors[sl[0] : sl[0] + len(sl)]
-            kk = min(k, len(sl))
-            top_s, top_i = jax.lax.top_k(s, kk)
-            boxes = decode_boxes(d[top_i], a[top_i])
-            boxes = clip_boxes(boxes, image_size)
-            w = boxes[:, 2] - boxes[:, 0]
-            h = boxes[:, 3] - boxes[:, 1]
-            valid = (w >= min_size) & (h >= min_size) & (top_s > score_thresh)
-            pad = k - kk
-            if pad:
-                boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
-                top_s = jnp.pad(top_s, (0, pad), constant_values=-jnp.inf)
-                valid = jnp.pad(valid, (0, pad))
-            lvl_boxes.append(boxes)
-            lvl_scores.append(top_s)
-            lvl_valid.append(valid)
+    # Batched per-level gather: top-k + decode only the survivors.
+    lvl_boxes, lvl_scores, lvl_valid = [], [], []
+    for sl in level_slices:
+        s = objectness[:, sl[0] : sl[0] + len(sl)]       # (B, n_l)
+        d = deltas[:, sl[0] : sl[0] + len(sl)]
+        a = anchors[sl[0] : sl[0] + len(sl)]
+        kk = min(k, len(sl))
+        top_s, top_i = jax.lax.top_k(s, kk)              # (B, kk) sorted desc
+        boxes = decode_boxes(jnp.take_along_axis(d, top_i[..., None], 1),
+                             a[top_i])
+        boxes = clip_boxes(boxes, image_size)
+        w = boxes[..., 2] - boxes[..., 0]
+        h = boxes[..., 3] - boxes[..., 1]
+        valid = (w >= min_size) & (h >= min_size) & (top_s > score_thresh)
+        pad = k - kk
+        if pad:
+            boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
+            top_s = jnp.pad(top_s, ((0, 0), (0, pad)),
+                            constant_values=-jnp.inf)
+            valid = jnp.pad(valid, ((0, 0), (0, pad)))
+        lvl_boxes.append(boxes)
+        lvl_scores.append(top_s)
+        lvl_valid.append(valid)
 
-        boxes = jnp.stack(lvl_boxes)      # (L, k, 4)
-        scores_k = jnp.stack(lvl_scores)  # (L, k)
-        valid = jnp.stack(lvl_valid)
+    boxes = jnp.stack(lvl_boxes, 1).reshape(B * L, k, 4)
+    scores_k = jnp.stack(lvl_scores, 1).reshape(B * L, k)
+    valid = jnp.stack(lvl_valid, 1).reshape(B * L, k)
 
+    use_pallas = jax.default_backend() != "cpu"
+    if use_pallas:
+        # one Pallas program per (image, level): VMEM-resident exact greedy NMS
+        from ..ops.pallas_nms import nms_keep_sorted_grid
+
+        keep = nms_keep_sorted_grid(boxes, valid, nms_thresh) > 0.0
+        kept_scores = jnp.where(keep, jax.nn.sigmoid(scores_k), -jnp.inf)
+        kept_boxes = boxes
+    else:
         def level_nms(b, s, v):
-            idx, keep = nms(b, jax.nn.sigmoid(s), nms_thresh, k, valid=v)
-            return b[idx], jnp.where(keep, jax.nn.sigmoid(s)[idx], -jnp.inf), keep
+            idx, kp = nms(b, jax.nn.sigmoid(s), nms_thresh, k, valid=v)
+            return b[idx], jnp.where(kp, jax.nn.sigmoid(s)[idx], -jnp.inf), kp
 
-        nb, ns, nk = jax.vmap(level_nms)(boxes, scores_k, valid)
-        flat_boxes = nb.reshape(-1, 4)
-        flat_scores = ns.reshape(-1)
-        flat_keep = nk.reshape(-1)
-        top_s, top_i = jax.lax.top_k(flat_scores, post_nms_top_n)
-        return flat_boxes[top_i], flat_keep[top_i] & (top_s > -jnp.inf)
+        kept_boxes, kept_scores, keep = jax.vmap(level_nms)(
+            boxes, scores_k, valid
+        )
 
-    return jax.vmap(per_image)(objectness, deltas)
+    flat_boxes = kept_boxes.reshape(B, L * k, 4)
+    flat_scores = kept_scores.reshape(B, L * k)
+    flat_keep = keep.reshape(B, L * k)
+    top_s, top_i = jax.lax.top_k(flat_scores, post_nms_top_n)
+    out_boxes = jnp.take_along_axis(flat_boxes, top_i[..., None], 1)
+    out_keep = jnp.take_along_axis(flat_keep, top_i, 1) & (top_s > -jnp.inf)
+    return out_boxes, out_keep
 
 
 def assign_rpn_targets(

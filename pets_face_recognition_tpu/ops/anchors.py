@@ -14,6 +14,7 @@ Mask/Keypoint R-CNNs, SURVEY.md §2.10). Matches torchvision semantics:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -66,9 +67,17 @@ def multilevel_anchors(
 
     Mirrors torchvision's FPN default of one size tuple per level
     (e.g. ``((32,),(64,),(128,),(256,),(512,))`` for maskrcnn_resnet50_fpn).
+
+    Built with jnp iota (not a numpy literal): a 320² pyramid has ~25k anchors,
+    and embedding them as an HLO constant bloats the serialized module past the
+    remote-compiler's request limits; in-graph generation is a few fused ops.
     """
     per_level = []
     for fsize, stride, sizes in zip(feature_sizes, strides, sizes_per_level):
-        base = generate_anchors(tuple(sizes), aspect_ratios)
-        per_level.append(grid_anchors(fsize, stride, base))
-    return jnp.asarray(np.concatenate(per_level, axis=0))
+        fh, fw = fsize
+        base = jnp.asarray(generate_anchors(tuple(sizes), aspect_ratios))
+        sy = jax.lax.broadcasted_iota(jnp.float32, (fh, fw), 0) * stride
+        sx = jax.lax.broadcasted_iota(jnp.float32, (fh, fw), 1) * stride
+        shifts = jnp.stack([sx, sy, sx, sy], axis=-1).reshape(-1, 1, 4)
+        per_level.append((shifts + base[None, :, :]).reshape(-1, 4))
+    return jnp.concatenate(per_level, axis=0)

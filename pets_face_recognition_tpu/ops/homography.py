@@ -149,6 +149,92 @@ def warp_perspective(
     return _bilinear_sample(image.astype(jnp.float32), sx, sy)
 
 
+def warp_affine_two_pass(
+    image: jnp.ndarray,
+    H: jnp.ndarray,
+    dsize: tuple[int, int],
+) -> jnp.ndarray:
+    """Exact two-pass AFFINE inverse warp with axis-aligned gathers (TPU-fast).
+
+    For an affine map ``src = M @ (x, y, 1)`` the bilinear resample factorizes into
+    a vertical pass followed by a horizontal pass (Catmull–Smith):
+
+    - along an output row ``i``, ``sx`` is linear in ``j``; re-parametrizing by the
+      source column ``x`` gives ``sy = A·i + B·x + C`` — a vertical-only shear,
+      computed with ``take_along_axis(axis=0)`` (per-lane row gather, which Mosaic
+      vectorizes, unlike the flat random-access gather of the projective path);
+    - then ``out[i, j] = M1[i, sx(i, j)]`` — a horizontal-only resample via
+      ``take_along_axis(axis=1)``.
+
+    Out-of-range samples produce 0 (cv2 BORDER_CONSTANT), handled per pass.
+    Requires ``|t| = |d sx/d j| > 0`` (non-degenerate x scale), true for every
+    face-alignment transform.
+
+    Filter note: the two-pass kernel interpolates on a sheared grid, which is a
+    valid bilinear-class resampling but not sample-identical to cv2's 4-corner
+    bilinear — for alignment-scale transforms the difference is ~0.25% of pixel
+    range (same order as cv2's own 5-bit fixed-point interpolation weights).
+    Use :func:`warp_perspective` when exact cv2 parity matters; use this in the
+    batched TPU pipeline where it is ~an order of magnitude faster (axis-aligned
+    gathers vectorize; flat random-access gathers do not).
+    """
+    out_h, out_w = dsize
+    Hs, Ws, C = image.shape
+    Minv = jnp.linalg.inv(H.astype(jnp.float32))
+    # affine coefficients: sx = s·i + t·j + u ; sy = p·i + q·j + r
+    s, t, u = Minv[0, 1], Minv[0, 0], Minv[0, 2]
+    p, q, r = Minv[1, 1], Minv[1, 0], Minv[1, 2]
+
+    # pass 1: M1[i, x] = IMG[A·i + B·x + Cc, x]
+    # from j = (x - s·i - u)/t:  sy = p·i + q·(x - s·i - u)/t + r
+    A = p - q * s / t
+    B = q / t
+    Cc = r - q * u / t
+
+    ii = jnp.arange(out_h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(Ws, dtype=jnp.float32)[None, :]
+    sy = A * ii + B * xx + Cc  # (out_h, Ws)
+    y0 = jnp.floor(sy)
+    fy = sy - y0
+    y0i = y0.astype(jnp.int32)
+    oob_y0 = (y0i < 0) | (y0i >= Hs)
+    oob_y1 = (y0i + 1 < 0) | (y0i + 1 >= Hs)
+    y0c = jnp.clip(y0i, 0, Hs - 1)
+    y1c = jnp.clip(y0i + 1, 0, Hs - 1)
+
+    # image (Hs, Ws, C); take_along_axis needs matching dims: expand idx to C
+    img = image.astype(jnp.float32)
+    g0 = jnp.take_along_axis(
+        img, jnp.broadcast_to(y0c[:, :, None], (out_h, Ws, C)), axis=0
+    )
+    g1 = jnp.take_along_axis(
+        img, jnp.broadcast_to(y1c[:, :, None], (out_h, Ws, C)), axis=0
+    )
+    g0 = jnp.where(oob_y0[:, :, None], 0.0, g0)
+    g1 = jnp.where(oob_y1[:, :, None], 0.0, g1)
+    M1 = g0 * (1.0 - fy)[:, :, None] + g1 * fy[:, :, None]  # (out_h, Ws, C)
+
+    # pass 2: OUT[i, j] = M1[i, sx(i, j)]
+    jj = jnp.arange(out_w, dtype=jnp.float32)[None, :]
+    sx = s * ii + t * jj + u  # (out_h, out_w)
+    x0 = jnp.floor(sx)
+    fx = sx - x0
+    x0i = x0.astype(jnp.int32)
+    oob_x0 = (x0i < 0) | (x0i >= Ws)
+    oob_x1 = (x0i + 1 < 0) | (x0i + 1 >= Ws)
+    x0c = jnp.clip(x0i, 0, Ws - 1)
+    x1c = jnp.clip(x0i + 1, 0, Ws - 1)
+    h0 = jnp.take_along_axis(
+        M1, jnp.broadcast_to(x0c[:, :, None], (out_h, out_w, C)), axis=1
+    )
+    h1 = jnp.take_along_axis(
+        M1, jnp.broadcast_to(x1c[:, :, None], (out_h, out_w, C)), axis=1
+    )
+    h0 = jnp.where(oob_x0[:, :, None], 0.0, h0)
+    h1 = jnp.where(oob_x1[:, :, None], 0.0, h1)
+    return h0 * (1.0 - fx)[:, :, None] + h1 * fx[:, :, None]
+
+
 def align_crop(
     images: jnp.ndarray,
     landmarks: jnp.ndarray,
@@ -176,6 +262,20 @@ def align_crop(
     src4 = jnp.concatenate([landmarks.mean(axis=1, keepdims=True), landmarks], axis=1)
     dst4 = jnp.concatenate([base.mean(axis=1, keepdims=True), base], axis=1)
     Hs = solve_homography(src4, dst4)
-    return jax.vmap(lambda im, h: warp_perspective(im, h, dsize))(
+    # Because the 4th correspondence is the centroid of the other 3 on BOTH
+    # sides, the exact 4-point homography has zero perspective terms (an affine
+    # map preserves centroids and the non-degenerate 4-point homography is
+    # unique) — solve_homography returns perspective entries at float-noise
+    # level (~1e-6). Project to exact affine and use the two-pass warp, whose
+    # axis-aligned gathers are an order of magnitude faster on TPU than the
+    # flat random-access gather of the projective path.
+    Hs = Hs.at[:, 2, 0].set(0.0).at[:, 2, 1].set(0.0)
+    if jax.default_backend() != "cpu" and dsize[0] % 8 == 0:
+        # gather-free Pallas kernel: exact 4-corner bilinear (~20x faster than
+        # the XLA gather lowering on v5e)
+        from .pallas_warp import warp_affine_batch_pallas
+
+        return warp_affine_batch_pallas(images, Hs, tuple(dsize))
+    return jax.vmap(lambda im, h: warp_affine_two_pass(im, h, dsize))(
         images.astype(jnp.float32), Hs
     )

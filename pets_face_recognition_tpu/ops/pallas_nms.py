@@ -22,24 +22,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _nms_kernel(boxes_ref, valid_ref, keep_ref, alive, *, iou_threshold: float):
-    """boxes (4, K) VMEM [x1;y1;x2;y2 rows], valid (1, K), keep out (1, K)."""
-    k = boxes_ref.shape[1]
-    x1 = boxes_ref[0, :]
-    y1 = boxes_ref[1, :]
-    x2 = boxes_ref[2, :]
-    y2 = boxes_ref[3, :]
+    """boxes (..., 4, K) VMEM [x1;y1;x2;y2 rows], valid (..., 1, K),
+    keep out (..., 1, K) — leading block dims (from grid blocking) squeezed."""
+    k = boxes_ref.shape[-1]
+    boxes = boxes_ref[...].reshape(4, k)
+    x1 = boxes[0, :]
+    y1 = boxes[1, :]
+    x2 = boxes[2, :]
+    y2 = boxes[3, :]
     area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)[0]
 
-    alive[0, :] = valid_ref[0, :]
+    alive[0, :] = valid_ref[...].reshape(1, k)[0, :]
 
     def body(i, _):
-        ai = alive[0, i]
-        bx1 = x1[i]
-        by1 = y1[i]
-        bx2 = x2[i]
-        by2 = y2[i]
-        barea = area[i]
+        # Mosaic has no dynamic scalar extraction inside the loop — select the
+        # pivot box via a mask-reduction instead (pure VPU, k lanes).
+        sel = (col == i).astype(jnp.float32)
+        ai = jnp.sum(alive[0, :] * sel)
+        bx1 = jnp.sum(x1 * sel)
+        by1 = jnp.sum(y1 * sel)
+        bx2 = jnp.sum(x2 * sel)
+        by2 = jnp.sum(y2 * sel)
+        barea = jnp.sum(area * sel)
 
         ix1 = jnp.maximum(x1, bx1)
         iy1 = jnp.maximum(y1, by1)
@@ -54,7 +59,7 @@ def _nms_kernel(boxes_ref, valid_ref, keep_ref, alive, *, iou_threshold: float):
         return 0
 
     jax.lax.fori_loop(0, k, body, 0)
-    keep_ref[0, :] = alive[0, :]
+    keep_ref[...] = alive[0, :].reshape(keep_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
@@ -84,3 +89,36 @@ def nms_keep_sorted(
         interpret=interpret,
     )(boxes_t, valid_f)
     return out[0]
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
+def nms_keep_sorted_grid(
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Grid variant: ``boxes (G, K, 4)`` (each row score-DESC-sorted),
+    ``valid (G, K)`` → keep masks ``(G, K)``. One program per group — the whole
+    batch × FPN-level NMS workload runs as one pallas_call.
+    """
+    g, k, _ = boxes.shape
+    boxes_t = jnp.transpose(boxes.astype(jnp.float32), (0, 2, 1))  # (G, 4, K)
+    valid_f = valid.astype(jnp.float32)[:, None, :]  # (G, 1, K)
+    kernel = functools.partial(_nms_kernel, iou_threshold=iou_threshold)
+    out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        out_shape=jax.ShapeDtypeStruct((g, 1, k), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, 4, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, k), jnp.float32)],
+        interpret=interpret,
+    )(boxes_t, valid_f)
+    return out[:, 0, :]

@@ -1,0 +1,76 @@
+"""Pallas multilevel RoIAlign (interpret mode) vs the XLA reference path."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pets_face_recognition_tpu.ops.roi_align import multilevel_roi_align
+from pets_face_recognition_tpu.ops.pallas_roi_align import (
+    multilevel_roi_align_pallas,
+)
+
+
+def _pyramid(rng, B=2, C=32):
+    sizes = [(40, 40), (20, 20), (10, 10), (5, 5)]
+    return [jnp.asarray(rng.randn(B, h, w, C).astype(np.float32))
+            for h, w in sizes]
+
+
+def _level_realistic_rois(rng, B, per_image, image_size=160):
+    """RoIs whose sizes land across all FPN levels (canonical mapper regime)."""
+    rois, bidx = [], []
+    for b in range(B):
+        for _ in range(per_image):
+            # sample target level then size so the mapper assigns that level
+            k = rng.randint(2, 6)
+            s = 224.0 * (2.0 ** (k - 4)) * rng.uniform(1.0, 1.9)
+            s = min(s, image_size * 0.9)
+            ar = rng.uniform(0.6, 1.6)
+            w = s * np.sqrt(ar)
+            h = s / np.sqrt(ar)
+            x1 = rng.uniform(0, max(image_size - w, 1))
+            y1 = rng.uniform(0, max(image_size - h, 1))
+            rois.append([x1, y1, x1 + w, y1 + h])
+            bidx.append(b)
+    return (np.asarray(rois, np.float32), np.asarray(bidx, np.int32))
+
+
+def test_pallas_roi_align_matches_xla(rng):
+    B, per = 2, 8
+    feats = _pyramid(rng, B)
+    rois, bidx = _level_realistic_rois(rng, B, per)
+    strides = (4, 8, 16, 32)
+
+    want = np.asarray(multilevel_roi_align(
+        feats, jnp.asarray(rois), jnp.asarray(bidx), (7, 7), strides,
+    ))
+    got = np.asarray(multilevel_roi_align_pallas(
+        feats, jnp.asarray(rois), jnp.asarray(bidx), (7, 7), strides,
+        interpret=True, compute_dtype=jnp.float32,
+    ))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+    # bf16 production mode stays within quantization error
+    got16 = np.asarray(multilevel_roi_align_pallas(
+        feats, jnp.asarray(rois), jnp.asarray(bidx), (7, 7), strides,
+        interpret=True,
+    ))
+    assert np.abs(got16 - want).max() < 0.05
+
+
+def test_pallas_roi_align_oob_rois(rng):
+    """Partially out-of-range RoIs still agree (zero-padding rules)."""
+    B = 1
+    feats = _pyramid(rng, B)
+    rois = np.asarray(
+        [[-8.0, -8.0, 60.0, 60.0], [100.0, 100.0, 200.0, 200.0]], np.float32
+    )
+    bidx = np.zeros(2, np.int32)
+    strides = (4, 8, 16, 32)
+    want = np.asarray(multilevel_roi_align(
+        feats, jnp.asarray(rois), jnp.asarray(bidx), (7, 7), strides,
+    ))
+    got = np.asarray(multilevel_roi_align_pallas(
+        feats, jnp.asarray(rois), jnp.asarray(bidx), (7, 7), strides,
+        interpret=True, compute_dtype=jnp.float32,
+    ))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)

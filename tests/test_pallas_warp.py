@@ -1,0 +1,59 @@
+"""Pallas affine warp kernel (interpret mode) vs the exact projective reference."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pets_face_recognition_tpu.ops.homography import (
+    solve_homography,
+    warp_perspective,
+)
+from pets_face_recognition_tpu.ops.pallas_warp import warp_affine_batch_pallas
+
+BASE = np.array([[70.0, 92.0], [154.0, 92.0], [112.0, 160.0]], np.float32)
+
+
+def _alignment_H(pts):
+    p1 = np.concatenate([pts.mean(0, keepdims=True), pts])
+    p2 = np.concatenate([BASE.mean(0, keepdims=True), BASE])
+    H = np.array(solve_homography(jnp.asarray(p1), jnp.asarray(p2)))
+    H[2, :2] = 0.0
+    return H
+
+
+def test_pallas_warp_matches_projective_reference(rng):
+    B = 3
+    imgs = rng.uniform(0, 255, (B, 320, 320, 3)).astype(np.float32)
+    Hs = []
+    for b in range(B):
+        pts = np.array([[100, 120], [200, 118 + 10 * b], [150, 190]],
+                       np.float32) + rng.uniform(-15, 15, (3, 2)).astype(
+                           np.float32)
+        Hs.append(_alignment_H(pts))
+    Hs = np.stack(Hs)
+
+    got = np.asarray(warp_affine_batch_pallas(
+        jnp.asarray(imgs), jnp.asarray(Hs), (224, 224), interpret=True,
+    ))
+    for b in range(B):
+        want = np.asarray(warp_perspective(
+            jnp.asarray(imgs[b]), jnp.asarray(Hs[b]), (224, 224)
+        ))
+        np.testing.assert_allclose(got[b], want, atol=3e-2,
+                                   err_msg=f"batch {b}")
+
+
+def test_pallas_warp_identity_and_scale(rng):
+    img = rng.uniform(0, 255, (1, 64, 64, 3)).astype(np.float32)
+    H = np.eye(3, dtype=np.float32)[None]
+    out = np.asarray(warp_affine_batch_pallas(
+        jnp.asarray(img), jnp.asarray(H), (64, 64), interpret=True,
+    ))
+    np.testing.assert_allclose(out[0], img[0], atol=1e-3)
+
+    H2 = np.diag([2.0, 2.0, 1.0]).astype(np.float32)[None]  # 2x zoom out
+    out2 = np.asarray(warp_affine_batch_pallas(
+        jnp.asarray(img), jnp.asarray(H2), (64, 64), interpret=True,
+    ))
+    want2 = np.asarray(warp_perspective(jnp.asarray(img[0]), jnp.asarray(H2[0]),
+                                        (64, 64)))
+    np.testing.assert_allclose(out2[0], want2, atol=1e-3)
