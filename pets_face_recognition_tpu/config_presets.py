@@ -232,28 +232,55 @@ def build_mask_config(
 def build_keypoint_config(
     data_root: str = "../pets_datasets",
     seed: int = 123,
-    n_epochs: int = 15,
-    train_batch_size: int = 8,
+    n_epochs: int = 25,
+    train_batch_size: int = 16,
     test_batch_size: int = 8,
     image_size: tuple[int, int] = (640, 640),
     max_boxes: int = 4,
     output: str = "results",
     num_workers: int = 8,
+    fixtures_dir: str = ".",
 ) -> dict:
     """Keypoint R-CNN head+landmark config (reference
-    ``configs/keypoint/keypoints_config.py``): CAT_DATASET 3-landmark files +
-    curated dog annotations (paths.pickle fixtures), 3 keypoints, 1 det/img."""
+    ``configs/keypoint/keypoints_config.py``): CAT_DATASET 3-landmark files with
+    an 80/20 split + rot90 augmentation, concatenated with the two curated
+    dog-annotation fixtures (``paths{,2}.pickle``/``others{,2}.pickle`` over
+    data_25 images, ref ``:52-64``) when present; 3 keypoints, 1 det/img."""
+    import pickle
+
+    from .data_loading import ConcatDataset
+    from .data_loading.dataset import SimpleDataset
     from .data_loading.lmd_dataset import CatLMDDataset, CatLMDSubset
     from .models.rcnn import keypointrcnn_resnet50_fpn
     from .losses import SumDetectionLoss
     from .utils.collate import DetectionCollate
 
-    base = CatLMDDataset(Path(data_root) / "cats")
+    cat_dir = Path(data_root) / "CAT_DATASET"
+    if not cat_dir.exists():
+        cat_dir = Path(data_root) / "cats"
+    base = CatLMDDataset(cat_dir)
     n = len(base)
     perm = np.random.RandomState(seed).permutation(n)
-    split = int(n * 0.9)
-    train_ds = CatLMDSubset(base, perm[:split].tolist(), rotate=True, seed=seed)
+    split = int(n * 0.8)
+    train_ds = CatLMDSubset(base, perm[:split].tolist(), rotate90=True,
+                            seed=seed)
     val_ds = CatLMDSubset(base, perm[split:].tolist())
+
+    extra_parts = []
+    for pa, ot in (("paths.pickle", "others.pickle"),
+                   ("paths2.pickle", "others2.pickle")):
+        pa_p, ot_p = Path(fixtures_dir) / pa, Path(fixtures_dir) / ot
+        if pa_p.exists() and ot_p.exists():
+            with open(pa_p, "rb") as f:
+                paths = pickle.load(f)
+            with open(ot_p, "rb") as f:
+                others = pickle.load(f)
+            extra_parts.append(SimpleDataset(
+                Path(data_root) / "data_25", paths, others, rotate90=True,
+                rng=np.random.RandomState(seed),
+            ))
+    if extra_parts:
+        train_ds = ConcatDataset([train_ds, *extra_parts])
 
     collate = DetectionCollate(image_size, max_boxes=max_boxes,
                                num_keypoints=3)
@@ -268,7 +295,7 @@ def build_keypoint_config(
     def optimizer(config):
         steps = max(split // train_batch_size, 1)
         return detection_sgd_optimizer(
-            5e-3, milestones_steps=[10 * steps, 13 * steps])
+            5e-3, milestones_steps=[18 * steps, 23 * steps])
 
     def train_dataloader():
         return DataLoader(train_ds, train_batch_size, shuffle=True, seed=seed,

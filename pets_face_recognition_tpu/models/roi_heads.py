@@ -76,8 +76,11 @@ class MaskHead(nn.Module):
                 nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
                         dtype=self.dtype, name=f"mask_fcn{i + 1}")(x)
             )
+        # transpose_kernel=True + VALID == torch ConvTranspose2d(k=2, s=2, p=0)
+        # exactly (kernel layout (kh, kw, out, in)) — verified numerically
         x = nn.relu(
             nn.ConvTranspose(self.channels, (2, 2), strides=(2, 2),
+                             padding="VALID", transpose_kernel=True,
                              dtype=self.dtype, name="conv5_mask")(x)
         )
         return nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
@@ -99,8 +102,11 @@ class KeypointHead(nn.Module):
                 nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
                         dtype=self.dtype, name=f"kps_fcn{i + 1}")(x)
             )
+        # torch ConvTranspose2d(k=4, s=2, p=1) == flax padding (k-1-p)=2 with
+        # transpose_kernel=True — verified numerically
         x = nn.ConvTranspose(self.num_keypoints, (4, 4), strides=(2, 2),
-                             padding=((1, 1), (1, 1)), dtype=jnp.float32,
+                             padding=((2, 2), (2, 2)), transpose_kernel=True,
+                             dtype=jnp.float32,
                              name="kps_score_lowres")(x)
         return _upsample_bilinear_2x(x)
 

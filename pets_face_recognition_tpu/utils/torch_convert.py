@@ -157,6 +157,108 @@ def convert_swin(sd: Mapping[str, np.ndarray], prefix: str = "") -> dict:
     return params
 
 
+def _deconv(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d weight (in, out, kh, kw) → flax ConvTranspose kernel
+    (kh, kw, out, in) with ``transpose_kernel=True`` (numerically verified)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def convert_detection_model(
+    sd: Mapping[str, np.ndarray],
+    with_mask: bool = False,
+    num_keypoints: int = 0,
+    prefix: str = "",
+) -> tuple[dict, dict]:
+    """torchvision Mask/Keypoint/Faster R-CNN state dict →
+    (params, batch_stats) for ``models.rcnn.GeneralizedRCNN``.
+
+    Handles the production checkpoints' layouts
+    (``maskrcnn_resnet50_fpn`` / ``keypointrcnn_resnet50_fpn``):
+    ``backbone.body`` (resnet, frozen BN) / ``backbone.fpn`` / ``rpn.head`` /
+    ``roi_heads.{box_head, box_predictor, mask_*, keypoint_*}``.
+    Frozen BN appears as plain ``weight/bias/running_*`` tensors.
+    """
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    params: dict = {}
+    stats: dict = {}
+
+    body = {k[len("backbone.body."):]: v for k, v in sd.items()
+            if k.startswith("backbone.body.")}
+    p_body, s_body = convert_resnet(body)
+    params["backbone"] = {"backbone": p_body}
+    stats["backbone"] = {"backbone": s_body}
+
+    fpn: dict = {}
+    for i in range(4):
+        for tv_name, ours in ((f"backbone.fpn.inner_blocks.{i}", f"inner_{i}"),
+                              (f"backbone.fpn.layer_blocks.{i}", f"layer_{i}")):
+            # torchvision >=0.12 nests a Conv2dNormActivation: ".0.weight"
+            for suffix in (".weight", ".0.weight"):
+                if tv_name + suffix in sd:
+                    fpn[ours] = {
+                        "kernel": _conv(sd[tv_name + suffix]),
+                        "bias": sd[tv_name + suffix.replace("weight", "bias")],
+                    }
+    params["backbone"]["fpn"] = fpn
+
+    rpn: dict = {}
+    for tv_name, ours in (("rpn.head.conv", "conv"),
+                          ("rpn.head.conv.0.0", "conv"),
+                          ("rpn.head.cls_logits", "cls_logits"),
+                          ("rpn.head.bbox_pred", "bbox_pred")):
+        if f"{tv_name}.weight" in sd:
+            rpn[ours] = {"kernel": _conv(sd[f"{tv_name}.weight"]),
+                         "bias": sd[f"{tv_name}.bias"]}
+    params["rpn"] = rpn
+
+    params["box_head"] = {
+        "fc6": {"kernel": _dense(sd["roi_heads.box_head.fc6.weight"]),
+                "bias": sd["roi_heads.box_head.fc6.bias"]},
+        "fc7": {"kernel": _dense(sd["roi_heads.box_head.fc7.weight"]),
+                "bias": sd["roi_heads.box_head.fc7.bias"]},
+    }
+    params["box_predictor"] = {
+        "cls_score": {
+            "kernel": _dense(sd["roi_heads.box_predictor.cls_score.weight"]),
+            "bias": sd["roi_heads.box_predictor.cls_score.bias"]},
+        "bbox_pred": {
+            "kernel": _dense(sd["roi_heads.box_predictor.bbox_pred.weight"]),
+            "bias": sd["roi_heads.box_predictor.bbox_pred.bias"]},
+    }
+
+    if with_mask:
+        mask: dict = {}
+        for i in range(1, 5):
+            key = f"roi_heads.mask_head.mask_fcn{i}"
+            if f"{key}.weight" not in sd:  # >=0.12 nested layout
+                key = f"roi_heads.mask_head.{i - 1}.0"
+            mask[f"mask_fcn{i}"] = {"kernel": _conv(sd[f"{key}.weight"]),
+                                    "bias": sd[f"{key}.bias"]}
+        mask["conv5_mask"] = {
+            "kernel": _deconv(sd["roi_heads.mask_predictor.conv5_mask.weight"]),
+            "bias": sd["roi_heads.mask_predictor.conv5_mask.bias"]}
+        mask["mask_fcn_logits"] = {
+            "kernel": _conv(sd["roi_heads.mask_predictor.mask_fcn_logits.weight"]),
+            "bias": sd["roi_heads.mask_predictor.mask_fcn_logits.bias"]}
+        params["mask_head"] = mask
+
+    if num_keypoints:
+        kp: dict = {}
+        for i in range(1, 9):
+            # torchvision KeypointRCNNHeads is an nn.Sequential of conv/relu:
+            # conv i lives at index 2*(i-1)
+            key = f"roi_heads.keypoint_head.{2 * (i - 1)}"
+            kp[f"kps_fcn{i}"] = {"kernel": _conv(sd[f"{key}.weight"]),
+                                 "bias": sd[f"{key}.bias"]}
+        kp["kps_score_lowres"] = {
+            "kernel": _deconv(
+                sd["roi_heads.keypoint_predictor.kps_score_lowres.weight"]),
+            "bias": sd["roi_heads.keypoint_predictor.kps_score_lowres.bias"]}
+        params["keypoint_head"] = kp
+
+    return params, stats
+
+
 def assert_tree_shapes(expected: Any, got: Any, path: str = "") -> None:
     """Recursively check that ``got`` covers ``expected`` with matching shapes."""
     if isinstance(expected, dict):
