@@ -126,9 +126,9 @@ def generate_proposals(
     use_pallas = jax.default_backend() != "cpu"
     if use_pallas:
         # one Pallas program per (image, level): VMEM-resident exact greedy NMS
-        from ..ops.pallas_nms import nms_keep_sorted_grid
+        from ..ops.pallas_nms import nms_keep_sorted_batch
 
-        keep = nms_keep_sorted_grid(boxes, valid, nms_thresh) > 0.0
+        keep = nms_keep_sorted_batch(boxes, valid, nms_thresh) > 0.0
         kept_scores = jnp.where(keep, jax.nn.sigmoid(scores_k), -jnp.inf)
         kept_boxes = boxes
     else:

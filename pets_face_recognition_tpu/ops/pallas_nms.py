@@ -26,40 +26,49 @@ def _nms_kernel(boxes_ref, valid_ref, keep_ref, alive, *, iou_threshold: float):
     keep out (..., 1, K) — leading block dims (from grid blocking) squeezed."""
     k = boxes_ref.shape[-1]
     boxes = boxes_ref[...].reshape(4, k)
-    x1 = boxes[0, :]
-    y1 = boxes[1, :]
-    x2 = boxes[2, :]
-    y2 = boxes[3, :]
+    # all vectors kept 2-D (1, k): Mosaic's layout inference rejects 1-D loop
+    # carries (layout_rank check)
+    x1 = boxes[0:1, :]
+    y1 = boxes[1:2, :]
+    x2 = boxes[2:3, :]
+    y2 = boxes[3:4, :]
     area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
-    alive[0, :] = valid_ref[...].reshape(1, k)[0, :]
+    P = 8  # pivots per loop step: same vector-op count, 8x fewer iterations
 
-    def body(i, _):
-        # Mosaic has no dynamic scalar extraction inside the loop — select the
-        # pivot box via a mask-reduction instead (pure VPU, k lanes).
-        sel = (col == i).astype(jnp.float32)
-        ai = jnp.sum(alive[0, :] * sel)
-        bx1 = jnp.sum(x1 * sel)
-        by1 = jnp.sum(y1 * sel)
-        bx2 = jnp.sum(x2 * sel)
-        by2 = jnp.sum(y2 * sel)
-        barea = jnp.sum(area * sel)
+    def block(blk, alive_v):
+        # Mosaic has no dynamic scalar extraction inside loops — pivots are
+        # selected via mask-reductions (pure VPU over k lanes). The within-block
+        # chain stays sequential (a pivot can be suppressed by an earlier pivot
+        # of the same block), but it is statically unrolled.
+        i0 = blk * P
+        for d in range(P):
+            i = i0 + d
+            sel = (col == i).astype(jnp.float32)
+            ai = jnp.sum(alive_v * sel)
+            bx1 = jnp.sum(x1 * sel)
+            by1 = jnp.sum(y1 * sel)
+            bx2 = jnp.sum(x2 * sel)
+            by2 = jnp.sum(y2 * sel)
+            barea = jnp.sum(area * sel)
 
-        ix1 = jnp.maximum(x1, bx1)
-        iy1 = jnp.maximum(y1, by1)
-        ix2 = jnp.minimum(x2, bx2)
-        iy2 = jnp.minimum(y2, by2)
-        inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
-        union = area + barea - inter
-        iou = jnp.where(union > 0.0, inter / union, 0.0)
+            ix1 = jnp.maximum(x1, bx1)
+            iy1 = jnp.maximum(y1, by1)
+            ix2 = jnp.minimum(x2, bx2)
+            iy2 = jnp.minimum(y2, by2)
+            inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+            union = area + barea - inter
+            iou = jnp.where(union > 0.0, inter / union, 0.0)
 
-        suppress = (iou > iou_threshold) & (col > i) & (ai > 0.0)
-        alive[0, :] = jnp.where(suppress, 0.0, alive[0, :])
-        return 0
+            suppress = (iou > iou_threshold) & (col > i) & (ai > 0.0)
+            alive_v = jnp.where(suppress, 0.0, alive_v)
+        return alive_v
 
-    jax.lax.fori_loop(0, k, body, 0)
-    keep_ref[...] = alive[0, :].reshape(keep_ref.shape)
+    alive0 = valid_ref[...].reshape(1, k)
+    alive_final = jax.lax.fori_loop(0, (k + P - 1) // P, block, alive0)
+    alive[...] = alive_final
+    keep_ref[...] = alive_final.reshape(keep_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
@@ -89,6 +98,74 @@ def nms_keep_sorted(
         interpret=interpret,
     )(boxes_t, valid_f)
     return out[0]
+
+
+def _nms_batch_kernel(boxes_ref, valid_ref, keep_ref, *, iou_threshold: float):
+    """Fully batched kernel: ``boxes (G, 4, K)``, ``valid (G, K)`` →
+    keep ``(G, K)``.
+
+    All G groups advance in lock-step through the K sequential greedy steps —
+    the per-step work is (G, K)-shaped VPU ops (groups in sublanes, boxes in
+    lanes), so the sequential depth is K, not G·K as with one program per group
+    (measured ~8x faster at G=80, K=400).
+    """
+    g, _, k = boxes_ref.shape
+    boxes = boxes_ref[...]
+    x1 = boxes[:, 0, :]
+    y1 = boxes[:, 1, :]
+    x2 = boxes[:, 2, :]
+    y2 = boxes[:, 3, :]
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, k), 1)
+
+    def step(i, alive_v):
+        sel = (col == i).astype(jnp.float32)  # same pivot column per group
+        ai = jnp.sum(alive_v * sel, axis=1, keepdims=True)      # (G, 1)
+        bx1 = jnp.sum(x1 * sel, axis=1, keepdims=True)
+        by1 = jnp.sum(y1 * sel, axis=1, keepdims=True)
+        bx2 = jnp.sum(x2 * sel, axis=1, keepdims=True)
+        by2 = jnp.sum(y2 * sel, axis=1, keepdims=True)
+        barea = jnp.sum(area * sel, axis=1, keepdims=True)
+
+        ix1 = jnp.maximum(x1, bx1)
+        iy1 = jnp.maximum(y1, by1)
+        ix2 = jnp.minimum(x2, bx2)
+        iy2 = jnp.minimum(y2, by2)
+        inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+        union = area + barea - inter
+        iou = jnp.where(union > 0.0, inter / union, 0.0)
+
+        suppress = (iou > iou_threshold) & (col > i) & (ai > 0.0)
+        return jnp.where(suppress, 0.0, alive_v)
+
+    alive = jax.lax.fori_loop(0, k, step, valid_ref[...])
+    keep_ref[...] = alive
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
+def nms_keep_sorted_batch(
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched NMS over ``boxes (G, K, 4)`` / ``valid (G, K)`` → ``(G, K)`` keep.
+
+    One pallas program; groups ride the sublane dimension.
+    """
+    g, k, _ = boxes.shape
+    boxes_t = jnp.transpose(boxes.astype(jnp.float32), (0, 2, 1))  # (G, 4, K)
+    kernel = functools.partial(_nms_batch_kernel, iou_threshold=iou_threshold)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((g, k), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(boxes_t, valid.astype(jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))

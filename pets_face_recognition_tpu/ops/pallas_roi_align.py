@@ -87,11 +87,14 @@ def multilevel_roi_align_pallas(
 
     heights = [f.shape[1] for f in features]
     widths = [f.shape[2] for f in features]
-    # per-level window sizes. y (dim 1) allows arbitrary dynamic starts; x (dim 2)
-    # is the sublane dimension — Mosaic requires 8-aligned starts, so x windows
-    # are 8 wider (start rounded down) or the full row when the level is small.
-    w0ys = [min(64, h) for h in heights]
-    w0xs = [w if w <= 72 else 72 for w in widths]
+    # per-level window sizes. The canonical level mapper bounds an assigned
+    # RoI's span to < 28·sqrt(aspect) feature px, so 40 rows cover aspects to
+    # ~2; x adds 8 for the alignment round-down. y (dim 1) allows arbitrary
+    # dynamic starts; x (dim 2) is the sublane dimension — Mosaic requires
+    # 8-aligned starts — so x windows widen by 8 or use the full row when the
+    # level is small. Wilder aspect ratios clamp at the window edge.
+    w0ys = [min(40, h) for h in heights]
+    w0xs = [w if w <= 56 else 48 for w in widths]
     w0y_max = max(w0ys)
     w0x_max = max(w0xs)
 

@@ -4,7 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from pets_face_recognition_tpu.ops.nms import nms
-from pets_face_recognition_tpu.ops.pallas_nms import nms_keep_sorted
+from pets_face_recognition_tpu.ops.pallas_nms import nms_keep_sorted, nms_keep_sorted_batch
 
 
 def _rand(rng, n, size=60.0):
@@ -40,3 +40,18 @@ def test_pallas_nms_respects_valid_mask(rng):
                         interpret=True)
     )
     assert not keep[4:].any()
+
+
+def test_pallas_nms_batch_matches_single(rng):
+    G, K = 6, 64
+    boxes = np.stack([_rand(rng, K) for _ in range(G)])
+    order = np.argsort(-rng.uniform(0, 1, (G, K)), axis=1, kind="stable")
+    boxes = np.take_along_axis(boxes, order[..., None], axis=1)
+    valid = np.ones((G, K), bool)
+    valid[:, -5:] = False
+    batch = np.asarray(nms_keep_sorted_batch(
+        jnp.asarray(boxes), jnp.asarray(valid), 0.5, interpret=True))
+    for g in range(G):
+        single = np.asarray(nms_keep_sorted(
+            jnp.asarray(boxes[g]), jnp.asarray(valid[g]), 0.5, interpret=True))
+        np.testing.assert_array_equal(batch[g], single, err_msg=f"group {g}")
