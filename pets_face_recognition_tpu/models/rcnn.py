@@ -115,9 +115,11 @@ class GeneralizedRCNN(nn.Module):
         return keys, [feats[k] for k in keys]
 
     def _roi_align(self, pool_names, pool_feats, boxes_flat, batch_idx,
-                   strides, output_size):
+                   strides, output_size, train: bool = False):
         levels = [int(n[1:]) for n in pool_names]
-        if jax.default_backend() != "cpu":
+        # The Pallas kernel has no VJP — training differentiates through the
+        # XLA gather path; the kernel serves the (hot) inference path.
+        if jax.default_backend() != "cpu" and not train:
             # Pallas kernel: windowed VMEM slices + MXU interpolation matmuls
             # (an order of magnitude less HBM traffic than the XLA gather).
             # batch_idx is block-contiguous here (rois reshaped from (B, R, 4)).
@@ -135,9 +137,9 @@ class GeneralizedRCNN(nn.Module):
         )
 
     def _box_forward(self, pool_names, pool_feats, boxes_flat, batch_idx,
-                     strides):
+                     strides, train: bool = False):
         pooled = self._roi_align(pool_names, pool_feats, boxes_flat, batch_idx,
-                                 strides, (7, 7))
+                                 strides, (7, 7), train=train)
         return self.box_predictor(self.box_head(pooled))
 
     # ------------------------------------------------------------------ #
@@ -202,7 +204,7 @@ class GeneralizedRCNN(nn.Module):
         boxes_flat = boxes.reshape(B * S, 4)
         batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), S)
         class_logits, box_deltas = self._box_forward(
-            pool_names, pool_feats, boxes_flat, batch_idx, strides
+            pool_names, pool_feats, boxes_flat, batch_idx, strides, train=True
         )
 
         matched_boxes = jnp.take_along_axis(
@@ -219,7 +221,7 @@ class GeneralizedRCNN(nn.Module):
         if c.with_mask:
             pooled = self._roi_align(
                 pool_names, pool_feats, boxes_flat, batch_idx, strides,
-                (c.mask_roi_size, c.mask_roi_size),
+                (c.mask_roi_size, c.mask_roi_size), train=True,
             )
             mask_logits = self.mask_head(pooled)  # (B*S, 28, 28, C)
             gt_masks = jax.vmap(
@@ -233,7 +235,7 @@ class GeneralizedRCNN(nn.Module):
         if c.num_keypoints:
             pooled = self._roi_align(
                 pool_names, pool_feats, boxes_flat, batch_idx, strides,
-                (c.keypoint_roi_size, c.keypoint_roi_size),
+                (c.keypoint_roi_size, c.keypoint_roi_size), train=True,
             )
             kp_logits = self.keypoint_head(pooled)  # (B*S, 56, 56, K)
             gt_kps = jnp.take_along_axis(

@@ -86,6 +86,41 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+class _StemKernel(nn.Module):
+    """Holds the stem kernel under the same tree as ``nn.Conv`` (conv1/kernel)."""
+
+    in_ch: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, self.in_ch, 64), jnp.float32,
+        )
+
+
+def _fused_stem_conv(x, kernel, dtype):
+    """7×7/s2 stem as an exact space-to-depth 4×4/s1 conv (see call site)."""
+    import jax
+
+    B, H, W, C = x.shape
+    # fold 2x2 blocks into channels: y[a, b, (p, q, c)] = x[2a+p, 2b+q, c]
+    y = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(B, H // 2, W // 2, 4 * C)
+    # pad kernel 7→8 with a leading zero row/col, regroup to (4, 4, 4C, 64):
+    # W8[2u+p, 2v+q, c, o] → K[u, v, (p, q, c), o]
+    k8 = jnp.pad(kernel.astype(dtype), ((1, 0), (1, 0), (0, 0), (0, 0)))
+    k = k8.reshape(4, 2, 4, 2, C, 64)
+    k = jnp.transpose(k, (0, 2, 1, 3, 4, 5)).reshape(4, 4, 4 * C, 64)
+    return jax.lax.conv_general_dilated(
+        y.astype(dtype), k,
+        window_strides=(1, 1),
+        padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+
+
 class ResNet(nn.Module):
     """torchvision-compatible ResNet.
 
@@ -104,6 +139,7 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
     features_only: bool = False
     frozen_stats: bool = False
+    fused_stem: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -115,8 +151,20 @@ class ResNet(nn.Module):
             epsilon=1e-5,
             dtype=jnp.float32,
         )
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        if self.fused_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            # Space-to-depth stem: the 7×7/s2 conv on 3 channels runs the MXU at
+            # ~5 TF/s (contraction dim 3·49, measured). Exact reformulation: pad
+            # the kernel to 8×8 (zero row/col in FRONT, shifting the effective
+            # padding 3→4), fold 2×2 pixel blocks into channels, and convolve
+            # 4×4/s1 with padding (2, 1) — identical outputs, contraction dim
+            # 192, ~12× faster. The parameter keeps the standard (7,7,C,64)
+            # nn.Conv tree (``conv1/kernel``) so checkpoints are interchangeable
+            # with the plain stem.
+            kernel = _StemKernel(in_ch=x.shape[-1], name="conv1")()
+            x = _fused_stem_conv(x, kernel, self.dtype)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         # torch MaxPool2d(3, stride=2, padding=1)
