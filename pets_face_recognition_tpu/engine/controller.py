@@ -119,9 +119,13 @@ class Controller:
                  prefix: str = "") -> dict[str, dict[str, float]]:
         """``outputs[i]`` = list of per-batch dicts for val dataloader ``i``.
 
-        Returns ``{name: metrics}`` and optionally logs them.
+        Returns ``{name: metrics}`` and optionally logs them. When the config
+        carries an ``img_dir``, a confusion-matrix PNG (at the optimal
+        threshold) and a combined ROC-curve PNG are written per epoch —
+        the reference's matplotlib artifacts (``controller.py:184-203``).
         """
         all_metrics = {}
+        rocs = []
         for i, batches in enumerate(outputs):
             emb = np.concatenate([np.asarray(b["emb"]) for b in batches], axis=0)
             classes = np.concatenate([np.asarray(b["label"]) for b in batches])
@@ -148,12 +152,17 @@ class Controller:
                             tuple(self.config.get("k", ())))
             )
             all_metrics[name] = metrics
+            rocs.append((name, scores, labels, metrics))
             if logger is not None:
                 logger.log_metrics(
                     {f"{prefix}{name} {k}": v for k, v in metrics.items()}, epoch
                 )
             else:
                 print(*[f"{name} {k}\t{v}" for k, v in metrics.items()], sep="\n")
+
+        img_dir = self.config.get("img_dir")
+        if img_dir is not None:
+            _save_eval_plots(rocs, img_dir, epoch)
         return all_metrics
 
     # -- dataloaders (delegated to config, controller.py:230-243) ----------
@@ -166,3 +175,49 @@ class Controller:
     def test_dataloader(self):
         dl = self.config.get("test_dataloader")
         return dl() if dl is not None else self.config.val_dataloader()
+
+
+def _save_eval_plots(rocs, img_dir, epoch: int) -> None:
+    """Confusion-matrix + ROC artifacts (reference ``controller.py:184-203``)."""
+    from pathlib import Path
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from sklearn.metrics import roc_curve
+
+    img_dir = Path(img_dir)
+    img_dir.mkdir(parents=True, exist_ok=True)
+
+    plt.figure(figsize=(10, 10))
+    for name, scores, labels, metrics in rocs:
+        opt_thr = metrics.get("Opt thr", 0.5)
+        pred = scores > opt_thr
+        tp = int((pred & (labels == 1)).sum())
+        fp = int((pred & (labels == 0)).sum())
+        fn = int((~pred & (labels == 1)).sum())
+        tn = int((~pred & (labels == 0)).sum())
+        fig, ax = plt.subplots()
+        ax.imshow([[tn, fp], [fn, tp]], cmap="Blues")
+        for (r, c), v in zip([(0, 0), (0, 1), (1, 0), (1, 1)],
+                             [tn, fp, fn, tp]):
+            ax.text(c, r, str(v), ha="center", va="center")
+        ax.set_xlabel("predicted")
+        ax.set_ylabel("true")
+        fig.savefig(img_dir / f" {name}_confmat_{epoch}.png")
+        plt.close(fig)
+
+    plt.figure(figsize=(10, 10))
+    for name, scores, labels, metrics in rocs:
+        fpr, tpr, _ = roc_curve(labels, scores)
+        plt.plot(fpr, tpr, label=f"{name} AUC = {metrics['ROC AUC']}",
+                 linewidth=3)
+    plt.plot([0, 1], [0, 1], "k--", linewidth=3)
+    plt.xlabel("False positive rate")
+    plt.ylabel("True positive rate")
+    plt.title("ROC curves")
+    plt.grid()
+    plt.legend()
+    plt.savefig(img_dir / f"roc_{epoch}.png")
+    plt.close("all")
