@@ -325,16 +325,64 @@ class Preproc6(Preproc4):
                          return_for_metrics=return_for_metrics)
 
 
-class Preproc5(Preproc4):
-    """Mask R-CNN soft-mask crop: pixels below ``mask_thr`` are squared
-    (darkened) instead of zeroed (ref ``:613-655``)."""
+class Preproc5(_ModelPipeline):
+    """Mask R-CNN soft-mask crop (ref ``:613-655``): mask probabilities below
+    ``mask_thr`` are squared (soft darkening), those above become 1; the
+    weighted image is cropped to the (rounded) top detection box — no
+    mask-derived bbox tightening, unlike Preproc4."""
+
+    def __init__(self, model_fn=None, loader=None, thr: float = 0.9,
+                 mask_thr: float = 0.5, input_size=(320, 320)):
+        super().__init__(model_fn, loader, input_size)
+        self.thr = thr
+        self.mask_thr = mask_thr
 
     def batch(self, images):
-        crops, valid, raw = super().batch(images)
-        # soft-mask variant differs only inside the mask multiply; the hard
-        # mask path of Preproc4 covers the production pipelines — the squared
-        # soft weighting is applied post hoc here.
-        return crops, valid, raw
+        batch, scales, pads = self._prepare(images)
+        dets = self.model_fn(jnp.asarray(batch))
+        out = jax.device_get(dets)
+        scores = out["scores"][:, 0]
+        valid = out["valid"][:, 0] & (scores > self.thr)
+        boxes = (out["boxes"][:, 0] - np.tile(pads, 2)) / scales[:, None]
+
+        img_list = [images] if isinstance(images, np.ndarray) and np.ndim(
+            images) == 3 else images
+        crops = []
+        for i, img in enumerate(img_list):
+            img = np.asarray(img)
+            if img.ndim == 2:
+                img = np.stack([img] * 3, -1)
+            img = img[..., :3].astype(np.float32)
+            if not valid[i]:
+                crops.append(None)
+                continue
+            h, w = img.shape[:2]
+            x1, y1, x2, y2 = np.round(boxes[i]).astype(int)
+            x1, y1 = max(x1, 0), max(y1, 0)
+            x2, y2 = min(x2, w), min(y2, h)
+            if x2 <= x1 or y2 <= y1:
+                valid[i] = False
+                crops.append(None)
+                continue
+            # paste the 28x28 mask probabilities to full image scale
+            full = np.asarray(paste_masks(
+                jnp.asarray(out["masks"][i, 0][None]),
+                jnp.asarray((boxes[i] * scales[i] + np.tile(pads[i], 2))[None]),
+                self.input_size,
+            ))[0]
+            ys = np.clip((np.arange(h) * scales[i] + pads[i][1]).astype(int),
+                         0, self.input_size[0] - 1)
+            xs = np.clip((np.arange(w) * scales[i] + pads[i][0]).astype(int),
+                         0, self.input_size[1] - 1)
+            m = full[np.ix_(ys, xs)]
+            soft = np.where(m < self.mask_thr, m ** 2, 1.0)
+            crops.append((img * soft[..., None])[y1:y2, x1:x2])
+        return crops, np.asarray(valid), {"scores": scores, "boxes": boxes}
+
+    def __call__(self, img: np.ndarray):
+        crops, valid, _ = self.batch([img])
+        assert valid[0], "Preproc5: low detection score"
+        return np.clip(crops[0], 0, 255).astype(np.uint8)
 
 
 class PreprocCombined:

@@ -1,0 +1,104 @@
+"""Preproc pipelines with fake jittable detector fns (CPU)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from pets_face_recognition_tpu.preprocessor import (
+    IdentityPreproc,
+    Preproc3,
+    Preproc4,
+    Preproc5,
+    Preproc6,
+)
+
+
+def _fake_keypoint_detector(score=0.99):
+    def fn(images):
+        b = images.shape[0]
+        return {
+            "scores": jnp.full((b, 1), score),
+            "valid": jnp.ones((b, 1), bool),
+            "boxes": jnp.broadcast_to(
+                jnp.asarray([[60.0, 60.0, 260.0, 260.0]]), (b, 1, 4)),
+            "keypoints": jnp.broadcast_to(
+                jnp.asarray([[[120.0, 130.0, 1.0], [200.0, 132.0, 1.0],
+                              [160.0, 200.0, 1.0]]]), (b, 1, 3, 3)),
+            "labels": jnp.ones((b, 1), jnp.int32),
+        }
+    return fn
+
+
+def _fake_mask_detector(score=0.99):
+    kp = _fake_keypoint_detector(score)
+
+    def fn(images):
+        out = dict(kp(images))
+        b = images.shape[0]
+        m = np.zeros((28, 28), np.float32)
+        m[4:24, 4:24] = 0.9
+        out["masks"] = jnp.broadcast_to(jnp.asarray(m), (b, 1, 28, 28))
+        return out
+    return fn
+
+
+@pytest.fixture
+def img(rng):
+    return rng.randint(0, 255, (240, 300, 3)).astype(np.uint8)
+
+
+def test_preproc3_aligns(img):
+    pre = Preproc3(model_fn=_fake_keypoint_detector(), thr=0.5,
+                   input_size=(320, 320))
+    out = pre(img)
+    assert out.shape == (224, 224, 3)
+    # batch path agrees with the single-image path
+    batch_out, valid, raw = pre.batch([img, img])
+    assert valid.all()
+    np.testing.assert_allclose(batch_out[0], out, atol=1e-3)
+    assert raw["keypoints"].shape == (2, 3, 2)
+
+
+def test_preproc3_rejects_low_score(img):
+    pre = Preproc3(model_fn=_fake_keypoint_detector(score=0.2), thr=0.9,
+                   input_size=(320, 320))
+    with pytest.raises(AssertionError):
+        pre(img)
+    _, valid, _ = pre.batch([img])
+    assert not valid[0]
+
+
+def test_preproc4_crops_bbox(img):
+    pre = Preproc4(model_fn=_fake_mask_detector(), thr=0.5,
+                   input_size=(320, 320))
+    crop = pre(img)
+    # bbox (60,60,260,260) at letterbox scale back to original coords
+    assert crop.ndim == 3 and crop.shape[0] > 20 and crop.shape[1] > 20
+    # masked variant zeroes outside the pasted mask
+    pre_m = Preproc4(model_fn=_fake_mask_detector(), thr=0.5, use_mask=True,
+                     input_size=(320, 320))
+    crop_m = pre_m(img)
+    assert crop_m.shape[0] <= crop.shape[0] + 1
+
+
+def test_preproc5_soft_mask(img):
+    pre = Preproc5(model_fn=_fake_mask_detector(), thr=0.5, mask_thr=0.5,
+                   input_size=(320, 320))
+    crop = pre(img)
+    assert crop.dtype == np.uint8 and crop.ndim == 3
+    # soft region (mask 0 squared -> 0) darkens edges relative to center
+    assert crop.mean() > 0
+
+
+def test_preproc6_returns_bbox_for_metrics(img):
+    pre = Preproc6(model_fn=_fake_keypoint_detector(), thr=0.5,
+                   input_size=(320, 320))
+    pre.return_for_metrics = True
+    bbox, scores = pre(img)
+    assert bbox.shape == (4,) and bbox.dtype == np.int64 or bbox.dtype == int
+    assert len(scores) >= 1
+
+
+def test_identity_preproc(img):
+    pre = IdentityPreproc()
+    np.testing.assert_array_equal(pre(img), img)
