@@ -267,17 +267,30 @@ class GeneralizedRCNN(nn.Module):
             pool_names, pool_feats, boxes_flat, batch_idx, strides
         )
 
-        post = jax.vmap(
-            lambda cl, bd, p, pv: rh.postprocess_detections(
-                cl, bd, p, pv, image_size,
-                c.box_score_thresh, c.box_nms_thresh, c.box_detections_per_img,
+        if jax.default_backend() != "cpu":
+            # one batched Pallas NMS across all images (groups in sublanes)
+            det_boxes, det_labels, det_scores, det_valid = (
+                rh.postprocess_detections_batch(
+                    class_logits.reshape(B, S, -1),
+                    box_deltas.reshape(B, S, -1, 4),
+                    proposals, prop_valid, image_size,
+                    c.box_score_thresh, c.box_nms_thresh,
+                    c.box_detections_per_img,
+                )
             )
-        )
-        det_boxes, det_labels, det_scores, det_valid = post(
-            class_logits.reshape(B, S, -1),
-            box_deltas.reshape(B, S, -1, 4),
-            proposals, prop_valid,
-        )
+        else:
+            post = jax.vmap(
+                lambda cl, bd, p, pv: rh.postprocess_detections(
+                    cl, bd, p, pv, image_size,
+                    c.box_score_thresh, c.box_nms_thresh,
+                    c.box_detections_per_img,
+                )
+            )
+            det_boxes, det_labels, det_scores, det_valid = post(
+                class_logits.reshape(B, S, -1),
+                box_deltas.reshape(B, S, -1, 4),
+                proposals, prop_valid,
+            )
 
         out = {
             "boxes": det_boxes,

@@ -196,6 +196,63 @@ def fastrcnn_loss(
 # --------------------------------------------------------------------------- #
 
 
+def postprocess_detections_batch(
+    class_logits: jnp.ndarray,
+    box_deltas: jnp.ndarray,
+    proposals: jnp.ndarray,
+    prop_valid: jnp.ndarray,
+    image_size: tuple[int, int],
+    score_thresh: float = 0.05,
+    nms_thresh: float = 0.5,
+    detections_per_img: int = 100,
+):
+    """Batched detection decoding: all images' class-aware NMS runs as ONE
+    Pallas kernel (groups in sublanes) instead of a vmapped sequential loop.
+
+    Args are the batched forms: ``class_logits (B, N, C)``,
+    ``box_deltas (B, N, C, 4)``, ``proposals (B, N, 4)``, ``prop_valid (B, N)``.
+    Returns ``(boxes (B, D, 4), labels, scores, valid)``.
+    """
+    from ..ops.pallas_nms import nms_keep_sorted_batch
+
+    B, N, C = class_logits.shape
+    scores = jax.nn.softmax(class_logits, axis=-1)
+    boxes = decode_boxes(box_deltas, proposals[:, :, None, :],
+                         BOX_CODER_WEIGHTS)
+    boxes = clip_boxes(boxes, image_size)  # (B, N, C, 4)
+
+    fg_scores = scores[:, :, 1:].reshape(B, N * (C - 1))
+    fg_boxes = boxes[:, :, 1:, :].reshape(B, N * (C - 1), 4)
+    fg_labels = jnp.tile(jnp.arange(1, C), N)[None, :]  # (1, N*(C-1))
+    fg_valid = jnp.repeat(prop_valid, C - 1, axis=1)
+
+    w = fg_boxes[..., 2] - fg_boxes[..., 0]
+    h = fg_boxes[..., 3] - fg_boxes[..., 1]
+    fg_valid = fg_valid & (w >= 0.01) & (h >= 0.01) & (fg_scores > score_thresh)
+
+    # class-offset trick so classes never suppress each other
+    max_coord = float(max(image_size)) + 2.0
+    shifted = fg_boxes + (
+        fg_labels.astype(fg_boxes.dtype) * max_coord
+    )[:, :, None]
+
+    order = jnp.argsort(-jnp.where(fg_valid, fg_scores, -jnp.inf), axis=1)
+    s_boxes = jnp.take_along_axis(shifted, order[..., None], axis=1)
+    s_raw = jnp.take_along_axis(fg_boxes, order[..., None], axis=1)
+    s_scores = jnp.take_along_axis(fg_scores, order, axis=1)
+    s_labels = jnp.take_along_axis(
+        jnp.broadcast_to(fg_labels, fg_scores.shape), order, axis=1)
+    s_valid = jnp.take_along_axis(fg_valid, order, axis=1)
+
+    keep = nms_keep_sorted_batch(s_boxes, s_valid, nms_thresh) > 0.0
+    kept_scores = jnp.where(keep, s_scores, -jnp.inf)
+    top_s, top_i = jax.lax.top_k(kept_scores, detections_per_img)
+    out_boxes = jnp.take_along_axis(s_raw, top_i[..., None], axis=1)
+    out_labels = jnp.take_along_axis(s_labels, top_i, axis=1)
+    out_valid = top_s > -jnp.inf
+    return out_boxes, out_labels, jnp.where(out_valid, top_s, 0.0), out_valid
+
+
 def postprocess_detections(
     class_logits: jnp.ndarray,
     box_deltas: jnp.ndarray,

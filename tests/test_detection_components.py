@@ -171,3 +171,46 @@ def test_detection_metrics_integration():
     m = detection_metrics(preds, targets, thresholds=(0.5,))
     assert m["AP 50"] == 1.0
     assert m["Mean IoU"] == 1.0  # top det matches first gt exactly
+
+
+def test_postprocess_batch_matches_per_image(rng):
+    """Batched (pallas, interpret) postprocess == vmapped reference path."""
+    from pets_face_recognition_tpu.models.roi_heads import (
+        postprocess_detections_batch,
+    )
+    import pets_face_recognition_tpu.models.roi_heads as rh_mod
+    import pets_face_recognition_tpu.ops.pallas_nms as pn
+    import functools
+
+    B, N, C = 3, 24, 3
+    logits = jnp.asarray(rng.randn(B, N, C).astype(np.float32) * 2)
+    deltas = jnp.asarray(rng.randn(B, N, C, 4).astype(np.float32) * 0.1)
+    xy = rng.uniform(0, 50, (B, N, 2)).astype(np.float32)
+    wh = rng.uniform(8, 30, (B, N, 2)).astype(np.float32)
+    proposals = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    valid = jnp.asarray(rng.rand(B, N) > 0.1)
+
+    # force the pallas path through interpret mode
+    orig = pn.nms_keep_sorted_batch
+    pn.nms_keep_sorted_batch = functools.partial(orig, interpret=True)
+    try:
+        bb, bl, bs, bv = postprocess_detections_batch(
+            logits, deltas, proposals, valid, (96, 96),
+            detections_per_img=8,
+        )
+    finally:
+        pn.nms_keep_sorted_batch = orig
+
+    for b in range(B):
+        wb, wl, ws, wv = rh_mod.postprocess_detections(
+            logits[b], deltas[b], proposals[b], valid[b], (96, 96),
+            detections_per_img=8,
+        )
+        nb = int(np.asarray(wv).sum())
+        assert int(np.asarray(bv[b]).sum()) == nb, f"image {b}"
+        np.testing.assert_allclose(np.asarray(bs[b])[:nb],
+                                   np.asarray(ws)[:nb], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(bb[b])[:nb],
+                                   np.asarray(wb)[:nb], atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(bl[b])[:nb],
+                                      np.asarray(wl)[:nb])
