@@ -234,6 +234,23 @@ class Trainer:
             self.current_epoch, prefix="test ",
         )
 
+    def predict(self, controller, state=None):
+        """Raw per-batch outputs over the test loader, on host (the reference's
+        PredictionLoop moves predictions to CPU as produced,
+        ``engine/loops/predict_loop.py:39-40``)."""
+        state = state if state is not None else self.state
+        controller.mesh = self.mesh
+        eval_step = controller.make_eval_step()
+        outputs = []
+        for loader in _as_list(controller.test_dataloader()):
+            for batch_idx, batch in enumerate(loader):
+                if self.limit_val_batches and batch_idx >= self.limit_val_batches:
+                    break
+                outputs.append(
+                    controller.run_eval_batch(eval_step, state, batch, self.mesh)
+                )
+        return outputs
+
     def _run_eval(self, controller, state, loaders, epoch, prefix):
         controller.mesh = self.mesh
         eval_step = controller.make_eval_step()

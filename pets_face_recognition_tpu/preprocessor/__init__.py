@@ -32,7 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.homography import align_crop, warp_perspective
+from ..ops.homography import align_crop, solve_homography, warp_perspective
 from ..ops.masks import paste_masks
 from ..utils.collate import letterbox_image
 from .align import align
@@ -189,20 +189,39 @@ class Preproc3(_ModelPipeline):
             & (d12 > self.min_distance)
         )
 
-        # align per original image (variable sizes -> per-image jit by shape)
+        # Align per original image. Original photos have heterogeneous shapes —
+        # warping them on device would force one compile per unique shape (and
+        # this environment's remote compiler makes that catastrophic), so the
+        # variable-size compat path warps on host with cv2 using OUR homography
+        # solve (cv2.warpPerspective is the reference's own warp,
+        # preprocessor/align.py:14 — exact parity by construction). The
+        # fixed-shape production path is the batched device kernel in
+        # ``serving.EmbeddingService`` / ``ops.pallas_warp``.
+        import cv2
+
         out_hw = self.dsize[:2]
         aligned = np.zeros((len(batch), *out_hw, 3), np.float32)
         img_list = [images] if isinstance(images, np.ndarray) and np.ndim(
             images) == 3 else images
+        solve_pts = np.concatenate(
+            [kps.mean(axis=1, keepdims=True), kps], axis=1
+        )
+        base4 = np.concatenate(
+            [self.base_pts.mean(axis=0, keepdims=True), self.base_pts], axis=0
+        )
+        Hs = np.asarray(solve_homography(
+            jnp.asarray(solve_pts), jnp.broadcast_to(
+                jnp.asarray(base4), (len(batch), 4, 2))
+        ))
         for i, img in enumerate(img_list):
             if not valid[i]:
                 continue
             img = np.asarray(img)
             if img.ndim == 2:
                 img = np.stack([img] * 3, -1)
-            aligned[i] = np.asarray(
-                align(img[..., :3].astype(np.float32), kps[i],
-                      self.base_pts, self.dsize)
+            aligned[i] = cv2.warpPerspective(
+                img[..., :3].astype(np.float32), Hs[i],
+                (out_hw[1], out_hw[0]),
             )
         raw = {"scores": scores, "keypoints": kps,
                "boxes": (out["boxes"][:, 0] - np.tile(pads, 2))

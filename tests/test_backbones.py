@@ -67,3 +67,20 @@ def test_two_level_rcnn_eval_forward(factory_name, rng):
     dets = model.apply(variables, x, train=False)
     assert dets["boxes"].shape == (1, 1, 4)  # box_detections_per_img=1
     assert dets["scores"].shape == (1, 1)
+
+
+def test_swin_keypoint_rcnn_window_divisible(rng):
+    """Swin keypoint R-CNN needs input divisible by window*prod(downscale);
+    448 = 64*7 works for window 7 (the reference pads to size_divisible=49,
+    models/detection/rcnn.py:157-163 — here the collate picks a valid size)."""
+    from pets_face_recognition_tpu.models import swin_tiny_keypoint_rcnn
+
+    model = swin_tiny_keypoint_rcnn(rpn_pre_nms_top_n_test=50,
+                                    rpn_post_nms_top_n_test=20)
+    x = jnp.asarray(rng.rand(1, 448, 448, 3).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(0)},
+        x, train=False,
+    )
+    dets = model.apply(variables, x, train=False)
+    assert dets["keypoints"].shape == (1, 1, 3, 3)
