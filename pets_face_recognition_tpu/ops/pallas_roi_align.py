@@ -52,52 +52,19 @@ def _sample_positions(lo, span, n_bins, ratio, n_samples, limit):
     return t0.astype(jnp.int32), frac, weight_scale
 
 
-def multilevel_roi_align_pallas(
-    features: list[jnp.ndarray],
-    rois: jnp.ndarray,
-    roi_batch_idx: jnp.ndarray,
-    output_size: tuple[int, int],
-    strides: tuple[int, ...],
-    sampling_ratio: int = 2,
-    canonical_scale: float = 224.0,
-    canonical_level: int = 4,
-    min_level: int = 2,
-    max_level: int = 5,
-    interpret: bool = False,
-    compute_dtype=jnp.bfloat16,
-) -> jnp.ndarray:
-    """Drop-in for ``multilevel_roi_align`` (same args) via the Pallas kernel.
 
-    Constraint: ``roi_batch_idx`` must be block-contiguous — roi ``r`` of image
-    ``b`` at flat position ``b * R + r`` (true for all callers, which reshape
-    ``(B, R, 4)``).
 
-    ``compute_dtype``: feature/weight dtype inside the kernel (f32 accumulate).
-    bfloat16 keeps the per-image level blocks + double buffering within the
-    16 MB VMEM budget; pass float32 for exact-parity testing at small sizes.
-    """
-    oh, ow = output_size
-    s = sampling_ratio
-    n_levels = len(features)
-    B = features[0].shape[0]
-    C = features[0].shape[-1]
-    K = rois.shape[0]
-    R = K // B
-    sy_n, sx_n = oh * s, ow * s
-
-    heights = [f.shape[1] for f in features]
-    widths = [f.shape[2] for f in features]
-    # per-level window sizes. The canonical level mapper bounds an assigned
-    # RoI's span to < 28·sqrt(aspect) feature px, so 40 rows cover aspects to
-    # ~2; x adds 8 for the alignment round-down. y (dim 1) allows arbitrary
-    # dynamic starts; x (dim 2) is the sublane dimension — Mosaic requires
-    # 8-aligned starts — so x windows widen by 8 or use the full row when the
-    # level is small. Wilder aspect ratios clamp at the window edge.
+def _window_sizes(heights, widths):
+    """Per-level window sizes (see multilevel_roi_align_pallas docstring)."""
     w0ys = [min(40, h) for h in heights]
     w0xs = [w if w <= 56 else 48 for w in widths]
-    w0y_max = max(w0ys)
-    w0x_max = max(w0xs)
+    return w0ys, w0xs
 
+
+def _roi_params(rois, heights, widths, strides, w0ys, w0xs, w0y_max, w0x_max,
+                oh, ow, s, sy_n, sx_n, canonical_scale, canonical_level,
+                min_level, max_level):
+    """Interpolation weights + window scalars for every RoI (float32)."""
     rois_f = rois.astype(jnp.float32)
     area = jnp.clip(rois_f[:, 2] - rois_f[:, 0], 0) * jnp.clip(
         rois_f[:, 3] - rois_f[:, 1], 0
@@ -146,14 +113,65 @@ def multilevel_roi_align_pallas(
     # NOTE: when a tap's two positions collide after clamping (edge rule), the
     # weights sum on the same column, preserving totals.
 
+    # 1-D prefetch arrays: a (K, 3) array would be lane-padded to (K, 128)
+    # in SMEM and overflow its 1 MB at a few thousand RoIs
+    return (Wy.astype(jnp.float32), Wx.astype(jnp.float32),
+            lvl.astype(jnp.int32), y_start.astype(jnp.int32),
+            x_start.astype(jnp.int32))
+
+
+def multilevel_roi_align_pallas(
+    features: list[jnp.ndarray],
+    rois: jnp.ndarray,
+    roi_batch_idx: jnp.ndarray,
+    output_size: tuple[int, int],
+    strides: tuple[int, ...],
+    sampling_ratio: int = 2,
+    canonical_scale: float = 224.0,
+    canonical_level: int = 4,
+    min_level: int = 2,
+    max_level: int = 5,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Drop-in for ``multilevel_roi_align`` (same args) via the Pallas kernel.
+
+    Constraint: ``roi_batch_idx`` must be block-contiguous — roi ``r`` of image
+    ``b`` at flat position ``b * R + r`` (true for all callers, which reshape
+    ``(B, R, 4)``).
+
+    ``compute_dtype``: feature/weight dtype inside the kernel (f32 accumulate).
+    bfloat16 keeps the per-image level blocks + double buffering within the
+    16 MB VMEM budget; pass float32 for exact-parity testing at small sizes.
+    """
+    oh, ow = output_size
+    s = sampling_ratio
+    n_levels = len(features)
+    B = features[0].shape[0]
+    C = features[0].shape[-1]
+    K = rois.shape[0]
+    R = K // B
+    sy_n, sx_n = oh * s, ow * s
+
+    heights = [f.shape[1] for f in features]
+    widths = [f.shape[2] for f in features]
+    # per-level window sizes. The canonical level mapper bounds an assigned
+    # RoI's span to < 28·sqrt(aspect) feature px, so 40 rows cover aspects to
+    # ~2; x adds 8 for the alignment round-down. y (dim 1) allows arbitrary
+    # dynamic starts; x (dim 2) is the sublane dimension — Mosaic requires
+    # 8-aligned starts — so x windows widen by 8 or use the full row when the
+    # level is small. Wilder aspect ratios clamp at the window edge.
+    w0ys, w0xs = _window_sizes(heights, widths)
+    w0y_max = max(w0ys)
+    w0x_max = max(w0xs)
+
+    Wy, Wx, lvl_arr, ys_arr, xs_arr = _roi_params(
+        rois, heights, widths, strides, w0ys, w0xs, w0y_max, w0x_max,
+        oh, ow, s, sy_n, sx_n, canonical_scale, canonical_level,
+        min_level, max_level,
+    )
     Wy = Wy.astype(compute_dtype)  # (K, sy_n, w0y_max)
     Wx = Wx.astype(compute_dtype)  # (K, sx_n, w0x_max)
-
-    # three 1-D prefetch arrays: a (K, 3) array would be lane-padded to
-    # (K, 128) in SMEM and overflow its 1 MB at a few thousand RoIs
-    lvl_arr = lvl.astype(jnp.int32)
-    ys_arr = y_start.astype(jnp.int32)
-    xs_arr = x_start.astype(jnp.int32)
 
     # One RoI per program: measured faster than chunking on v5e — @pl.when level
     # branches are predicated (all levels execute), so chunking multiplies the
@@ -261,3 +279,213 @@ def _roi_kernel(lvl_ref, ys_ref, xs_ref, *refs, n_levels, w0ys, w0xs, widths,
                 out_ref[0, j] = jnp.transpose(res, (0, 2, 1)).reshape(
                     sy_n, sx_n * C
                 )
+
+
+# --------------------------------------------------------------------------- #
+# Backward (custom VJP): gradient w.r.t. features only (rois non-differentiable,
+# matching torchvision's roi_align autograd).
+# --------------------------------------------------------------------------- #
+
+
+def _roi_bwd_level_kernel(lvl_ref, ys_ref, xs_ref, *refs, level, w0y, w0x,
+                          full_width, sy_n, sx_n, C, Rp):
+    """Backward for ONE pyramid level.
+
+    Accumulates into an explicit VMEM scratch (single-buffered by construction —
+    pipelined output blocks get double-buffered and overflow VMEM for the p2
+    level) and DMAs the finished per-image gradient to HBM on the image's last
+    program. TPU grids run sequentially on the core, so the accumulation is
+    race-free.
+    """
+    g_ref, wy_ref, wx_ref, out_hbm, acc, sem = refs
+
+    ci = pl.program_id(1)
+    bi = pl.program_id(0)
+
+    @pl.when(ci == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    k_idx = bi * Rp + ci
+    lvl = lvl_ref[k_idx]
+    ys = ys_ref[k_idx]
+    xs = xs_ref[k_idx]
+
+    @pl.when(lvl == level)
+    def _():
+        g = g_ref[0, 0]  # (sy_n, sx_n*C)
+        wy = wy_ref[0, 0]  # (sy_n, w0y_max)
+        wx = wx_ref[0, 0]  # (sx_n, w0x_max)
+        # T[h, (x c)] = sum_y wy[y, h] * g[y, (x c)]
+        t = jax.lax.dot_general(
+            wy[:, :w0y], g,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(w0y, sx_n, C)
+        # dwin[h, w, c] = sum_x wx[x, w] * T[h, x, c]
+        dwin = jax.lax.dot_general(
+            t, wx[:, :w0x],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (w0y, C, w0x)
+        dwin = jnp.transpose(dwin, (0, 2, 1))  # (w0y, w0x, C)
+        if full_width:
+            # the scratch may be w-padded to an 8 multiple for the HBM DMA
+            cur = acc[pl.ds(ys, w0y), :w0x, :]
+            acc[pl.ds(ys, w0y), :w0x, :] = cur + dwin
+        else:
+            xs8 = pl.multiple_of(xs, 8)
+            cur = acc[pl.ds(ys, w0y), pl.ds(xs8, w0x), :]
+            acc[pl.ds(ys, w0y), pl.ds(xs8, w0x), :] = cur + dwin
+
+    @pl.when(ci == Rp - 1)
+    def _():
+        copy = pltpu.make_async_copy(acc, out_hbm.at[bi], sem)
+        copy.start()
+        copy.wait()
+
+
+# --------------------------------------------------------------------------- #
+# Differentiable wrapper
+# --------------------------------------------------------------------------- #
+
+
+def _roi_backward(g, rois, feat_shapes, output_size, strides, sampling_ratio,
+                  canonical_scale, canonical_level, min_level, max_level,
+                  interpret, compute_dtype=jnp.bfloat16):
+    """Gradient w.r.t. the feature pyramid for the Pallas RoIAlign forward."""
+    oh, ow = output_size
+    s = sampling_ratio
+    sy_n, sx_n = oh * s, ow * s
+    n_levels = len(feat_shapes)
+    B, _, _, C = feat_shapes[0]
+    K = rois.shape[0]
+    R = K // B
+    heights = [fs[1] for fs in feat_shapes]
+    widths = [fs[2] for fs in feat_shapes]
+    w0ys, w0xs = _window_sizes(heights, widths)
+    w0y_max, w0x_max = max(w0ys), max(w0xs)
+
+    Wy, Wx, lvl_arr, ys_arr, xs_arr = _roi_params(
+        rois, heights, widths, strides, w0ys, w0xs, w0y_max, w0x_max,
+        oh, ow, s, sy_n, sx_n, canonical_scale, canonical_level,
+        min_level, max_level,
+    )
+
+    # mean-pool backward: spread the pooled cotangent over the s×s samples.
+    # Streamed operands ride in bf16 (f32 accumulation in-kernel): the f32
+    # per-image gradient blocks alone fill ~9 MB of VMEM and the f32 variant
+    # overflows the 16 MB budget by a hair.
+    g_s = jnp.repeat(jnp.repeat(g.reshape(K, oh, 1, ow, 1, C), s, axis=2),
+                     s, axis=4) / float(s * s)
+    g_s = g_s.reshape(B * R, 1, sy_n, sx_n * C).astype(compute_dtype)
+    Wy = Wy.reshape(B * R, 1, sy_n, w0y_max).astype(compute_dtype)
+    Wx = Wx.reshape(B * R, 1, sx_n, w0x_max).astype(compute_dtype)
+
+    grads = []
+    for i in range(n_levels):
+        # pad W to a multiple of 8: the scratch->HBM DMA slices must be
+        # sublane-tile aligned
+        wp = ((widths[i] + 7) // 8) * 8
+        kernel = functools.partial(
+            _roi_bwd_level_kernel, level=i, w0y=w0ys[i], w0x=w0xs[i],
+            full_width=widths[i] <= w0xs[i], sy_n=sy_n, sx_n=sx_n, C=C, Rp=R,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, R),
+            in_specs=[
+                pl.BlockSpec((1, 1, sy_n, sx_n * C),
+                             lambda bi, ci, *_: (bi * R + ci, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, sy_n, w0y_max),
+                             lambda bi, ci, *_: (bi * R + ci, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, sx_n, w0x_max),
+                             lambda bi, ci, *_: (bi * R + ci, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((heights[i], wp, C), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        padded = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (B, heights[i], wp, C), jnp.float32),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(lvl_arr, ys_arr, xs_arr, g_s, Wy, Wx)
+        grads.append(padded[:, :, : widths[i], :])
+    return tuple(grads)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_diff_roi_align(feat_shapes, output_size, strides, sampling_ratio,
+                         canonical_scale, canonical_level, min_level,
+                         max_level, interpret, compute_dtype_name):
+    compute_dtype = jnp.dtype(compute_dtype_name)
+
+    @jax.custom_vjp
+    def fn(features, rois, roi_batch_idx):
+        return multilevel_roi_align_pallas(
+            list(features), rois, roi_batch_idx, output_size, strides,
+            sampling_ratio, canonical_scale, canonical_level, min_level,
+            max_level, interpret, compute_dtype,
+        )
+
+    def fwd(features, rois, roi_batch_idx):
+        out = fn(features, rois, roi_batch_idx)
+        return out, (rois, roi_batch_idx)
+
+    def bwd(res, g):
+        rois, roi_batch_idx = res
+        dfeat = _roi_backward(
+            g, rois, feat_shapes, output_size, strides, sampling_ratio,
+            canonical_scale, canonical_level, min_level, max_level, interpret,
+            compute_dtype,
+        )
+        import numpy as _np
+
+        from jax import dtypes as _dtypes
+
+        zero_rois = jnp.zeros_like(rois)
+        zero_idx = _np.zeros(roi_batch_idx.shape, _dtypes.float0)
+        return dfeat, zero_rois, zero_idx
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def multilevel_roi_align_pallas_diff(
+    features: list[jnp.ndarray],
+    rois: jnp.ndarray,
+    roi_batch_idx: jnp.ndarray,
+    output_size: tuple[int, int],
+    strides: tuple[int, ...],
+    sampling_ratio: int = 2,
+    canonical_scale: float = 224.0,
+    canonical_level: int = 4,
+    min_level: int = 2,
+    max_level: int = 5,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Differentiable Pallas RoIAlign: forward kernel + custom-VJP backward
+    kernel (gradient w.r.t. features only — rois are non-differentiable, as in
+    torchvision's autograd).
+
+    The backward scatter-accumulates each RoI's ``Wyᵀ @ g @ Wx`` window into
+    per-level, per-image gradient blocks; TPU pallas grids execute sequentially
+    per core, so revisited output blocks accumulate race-free.
+    """
+    feat_shapes = tuple(tuple(f.shape) for f in features)
+    fn = _make_diff_roi_align(
+        feat_shapes, tuple(output_size), tuple(strides), sampling_ratio,
+        canonical_scale, canonical_level, min_level, max_level, interpret,
+        jnp.dtype(compute_dtype).name,
+    )
+    return fn(tuple(features), rois, roi_batch_idx)

@@ -74,3 +74,37 @@ def test_pallas_roi_align_oob_rois(rng):
         interpret=True, compute_dtype=jnp.float32,
     ))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_pallas_roi_align_gradients_match_xla(rng):
+    """Custom-VJP backward (interpret) == autodiff through the XLA path."""
+    import jax
+    from pets_face_recognition_tpu.ops.pallas_roi_align import (
+        multilevel_roi_align_pallas_diff,
+    )
+
+    B, per = 2, 4
+    feats = _pyramid(rng, B, C=8)
+    rois, bidx = _level_realistic_rois(rng, B, per)
+    strides = (4, 8, 16, 32)
+    cotangent = rng.randn(B * per, 7, 7, 8).astype(np.float32)
+
+    def loss_xla(fs):
+        out = multilevel_roi_align(fs, jnp.asarray(rois), jnp.asarray(bidx),
+                                   (7, 7), strides)
+        return jnp.sum(out * jnp.asarray(cotangent))
+
+    def loss_pallas(fs):
+        out = multilevel_roi_align_pallas_diff(
+            fs, jnp.asarray(rois), jnp.asarray(bidx), (7, 7), strides,
+            interpret=True, compute_dtype=jnp.float32,
+        )
+        return jnp.sum(out * jnp.asarray(cotangent))
+
+    g_xla = jax.grad(lambda fs: loss_xla(list(fs)))(tuple(feats))
+    g_pal = jax.grad(lambda fs: loss_pallas(list(fs)))(tuple(feats))
+    for lvl, (a, b) in enumerate(zip(g_xla, g_pal)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4, rtol=1e-3,
+            err_msg=f"level {lvl}",
+        )
