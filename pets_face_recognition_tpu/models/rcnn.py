@@ -114,9 +114,27 @@ class GeneralizedRCNN(nn.Module):
         keys = sorted(feats)[:-1]
         return keys, [feats[k] for k in keys]
 
+    # pyramids at or below this many total cells use the dense einsum RoIAlign
+    # (whole levels × interpolation matmuls) instead of the per-RoI Pallas
+    # kernel, which is program-overhead-bound (~3.6 µs/RoI): on the 2-level
+    # serving detectors (p4/p5 = 20²+10² at 320px) dense measures 1.3 ms vs
+    # 14.8 ms for 4096 RoIs on v5e
+    DENSE_ROI_ALIGN_MAX_CELLS = 1024
+
     def _roi_align(self, pool_names, pool_feats, boxes_flat, batch_idx,
                    strides, output_size, train: bool = False):
         levels = [int(n[1:]) for n in pool_names]
+        if (not train
+                and sum(f.shape[1] * f.shape[2] for f in pool_feats)
+                <= self.DENSE_ROI_ALIGN_MAX_CELLS
+                and boxes_flat.shape[0] % pool_feats[0].shape[0] == 0):
+            from ..ops.roi_align import multilevel_roi_align_dense
+
+            return multilevel_roi_align_dense(
+                pool_feats, boxes_flat, batch_idx, output_size,
+                tuple(strides[: len(pool_feats)]),
+                min_level=min(levels), max_level=max(levels),
+            )
         if jax.default_backend() != "cpu":
             # Pallas kernels: windowed VMEM slices + MXU interpolation matmuls
             # (an order of magnitude less HBM traffic than the XLA gather).

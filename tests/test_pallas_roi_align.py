@@ -108,3 +108,40 @@ def test_pallas_roi_align_gradients_match_xla(rng):
             np.asarray(b), np.asarray(a), atol=5e-4, rtol=1e-3,
             err_msg=f"level {lvl}",
         )
+
+
+def test_dense_roi_align_matches_gather(rng):
+    """multilevel_roi_align_dense (whole-level einsum form) == gather path."""
+    from pets_face_recognition_tpu.ops.roi_align import (
+        multilevel_roi_align_dense,
+    )
+
+    B, per = 2, 16
+    sizes = [(20, 20), (10, 10), (5, 5)]
+    feats = [jnp.asarray(rng.randn(B, h, w, 32).astype(np.float32))
+             for h, w in sizes]
+    rois = []
+    for _ in range(B * per):
+        s = rng.uniform(20, 280)
+        w = s * rng.uniform(0.7, 1.4)
+        h = s * s / w
+        x1 = rng.uniform(-10, 320 - w)
+        y1 = rng.uniform(-10, 320 - h)
+        rois.append([x1, y1, x1 + w, y1 + h])
+    rois = jnp.asarray(np.asarray(rois, np.float32))
+    bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), per)
+    strides = (16, 32, 64)
+
+    want = np.asarray(multilevel_roi_align(
+        feats, rois, bidx, (7, 7), strides, min_level=4, max_level=6,
+    ))
+    got = np.asarray(multilevel_roi_align_dense(
+        feats, rois, bidx, (7, 7), strides, min_level=4, max_level=6,
+        compute_dtype=jnp.float32,
+    ))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+    got16 = np.asarray(multilevel_roi_align_dense(
+        feats, rois, bidx, (7, 7), strides, min_level=4, max_level=6,
+    ))
+    assert np.abs(got16 - want).max() < 0.05
