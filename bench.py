@@ -101,8 +101,11 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
         dst4 = jnp.concatenate([base.mean(axis=1, keepdims=True), base], axis=1)
         Hs = solve_homography(src4, dst4)
         Hs = Hs.at[:, 2, 0].set(0.0).at[:, 2, 1].set(0.0)
+        # band=128 narrows the warp kernel's static y-band (MXU work is
+        # proportional): admits rotations to ~±20deg at full-frame-face scale,
+        # beyond anything the landmark validity checks let through
         crops = warp_affine_batch_pallas(imgs, Hs, (224, 224),
-                                         compute_dtype=jnp.bfloat16)
+                                         compute_dtype=jnp.bfloat16, band=128)
         return embedder.apply(emb_vars, crops, train=False)
 
     def pipeline(imgs):

@@ -98,7 +98,8 @@ def _warp_kernel(h0_ref, coeff_ref, img_ref, out_ref, *, out_w, src_h, src_w,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_size", "interpret", "compute_dtype")
+    jax.jit,
+    static_argnames=("out_size", "interpret", "compute_dtype", "band"),
 )
 def warp_affine_batch_pallas(
     images: jnp.ndarray,
@@ -106,6 +107,7 @@ def warp_affine_batch_pallas(
     out_size: tuple[int, int],
     interpret: bool = False,
     compute_dtype=jnp.float32,
+    band: int = BAND,
 ) -> jnp.ndarray:
     """Batched affine inverse warp: ``(B, H, W, C<=4) × (B, 3, 3) → (B, oh, ow, C)``.
 
@@ -116,7 +118,10 @@ def warp_affine_batch_pallas(
     oh, ow = out_size
     assert oh % ROWS_PER_BLOCK == 0, "output height must be divisible by 8"
     n_blocks = oh // ROWS_PER_BLOCK
-    band = min(BAND, src_h)
+    # MXU work scales with the band; serving can narrow it (multiple of 32,
+    # rotation limit per the module docstring)
+    assert band % 32 == 0, "band must be a multiple of 32"
+    band = min(band, src_h)
 
     Minv = jnp.linalg.inv(H.astype(jnp.float32))
     # out[i, j] samples src at sy = p i + q j + r ; sx = s i + t j + u
