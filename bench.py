@@ -15,8 +15,8 @@ Detector choices (``--detector``), both reference model families:
 Weights are randomly initialized (throughput is weight-independent); compute is
 bfloat16 on the MXU with float32 params. Prints exactly one JSON line.
 
-Measured on this image's v5e (batch 64 @320px): mobile ≈ 1320 crops/s,
-resnet50 ≈ 860 crops/s. See PERF.md for the stage breakdown and kernel notes.
+Measured on this image's v5e (batch 128 @320px): mobile ≈ 2170 crops/s,
+resnet50 ≈ 900 crops/s. See PERF.md for the stage breakdown and kernel notes.
 """
 
 from __future__ import annotations
@@ -116,7 +116,7 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--image-size", type=int, default=320)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)

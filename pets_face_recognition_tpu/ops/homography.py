@@ -240,6 +240,7 @@ def align_crop(
     landmarks: jnp.ndarray,
     base_pts: jnp.ndarray,
     dsize: tuple[int, int],
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Batched reference ``align()``: centroid-augmented homography + warp.
 
@@ -251,6 +252,9 @@ def align_crop(
         ``[[70, 92], [154, 92], [112, 160]]`` into 224×224,
         ``generate_tsv_to_reproduce1.py:151-154``).
       dsize: ``(out_h, out_w)``.
+      compute_dtype: matmul dtype for the Pallas warp on TPU. ``bfloat16``
+        doubles the MXU rate at ~0.4% pixel quantization (below JPEG noise;
+        the serving path uses it); ``float32`` is cv2-exact.
 
     Returns:
       ``(B, out_h, out_w, C)`` aligned crops.
@@ -275,7 +279,8 @@ def align_crop(
         # the XLA gather lowering on v5e)
         from .pallas_warp import warp_affine_batch_pallas
 
-        return warp_affine_batch_pallas(images, Hs, tuple(dsize))
+        return warp_affine_batch_pallas(images, Hs, tuple(dsize),
+                                        compute_dtype=compute_dtype)
     return jax.vmap(lambda im, h: warp_affine_two_pass(im, h, dsize))(
         images.astype(jnp.float32), Hs
     )

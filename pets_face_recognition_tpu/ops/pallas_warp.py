@@ -6,19 +6,23 @@ computes the exact 4-corner bilinear warp with **no gathers**:
 
 - the source image lives in VMEM transposed to ``(W, H·4)`` (channels padded to 4
   so the lane dimension is 128-aligned and y-bands can be lane-sliced);
-- for each output row, the x-interpolation is a one-hot-weighted matmul
-  ``Wx (out_w, W) @ band (W, BAND·4)`` on the MXU — the 2-non-zero weight rows
-  are built in-kernel from iota comparisons;
-- the y-interpolation is an elementwise masked reduction over the band followed
-  by a tiny channel-selector matmul.
+- per ``rpb``-row output block, the x-interpolation for all rows is ONE stacked
+  matmul ``Wx (rpb·out_w, W) @ band (W, BAND·4)`` on the MXU; the 2-tap bilinear
+  weights are the tent function ``relu(1 - |grid - coord|)`` (exactly the
+  one-hot construction, half the VPU cost of building one-hots);
+- the y-interpolation is a small tent-weight matrix ``(rpb·out_w, BAND)``
+  expanded to channel lanes by a constant matmul, an elementwise product, and a
+  tiny channel-selector matmul producing channels in sublanes;
+- the band is processed in two lane-halves so the float32 matmul accumulators
+  stay within the 16 MB scoped-VMEM budget at ``rpb=16``.
 
 Semantics: ``out[i, j] = img[p·i + q·j + r, s·i + t·j + u]`` bilinear,
 BORDER_CONSTANT zero — identical to ``warp_perspective`` for affine H (which the
 centroid-augmented alignment homography always is; see ``homography.align_crop``).
 
-Limit: the y-band per 8-row block is static (``BAND`` rows). Rotations with
-``|q|·out_w + 8·|p| + 4 > BAND`` clamp at the band edge; at the default
-``BAND=160`` that admits rotations past ±30° at alignment scales — far beyond
+Limit: the y-band per ``rpb``-row block is static (``BAND`` rows). Rotations
+with ``|q|·out_w + rpb·|p| + 4 > BAND`` clamp at the band edge; at the default
+``BAND=160`` that admits rotations past ±25° at alignment scales — far beyond
 anything the landmark validity checks let through.
 """
 
@@ -32,12 +36,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS_PER_BLOCK = 8
 BAND = 160
 
 
 def _warp_kernel(h0_ref, coeff_ref, img_ref, out_ref, *, out_w, src_h, src_w,
-                 band, n_blocks, mm_dtype):
+                 band, n_blocks, mm_dtype, rpb):
     bi = pl.program_id(0)
     blk = pl.program_id(1)
 
@@ -51,50 +54,59 @@ def _warp_kernel(h0_ref, coeff_ref, img_ref, out_ref, *, out_w, src_h, src_w,
 
     h0 = h0_ref[bi * n_blocks + blk]
     band_lanes = band * 4
-    # h0 is 32-aligned by construction; the hint lets Mosaic prove the
-    # lane-dimension slice start is a multiple of 128
-    h0l = pl.multiple_of(h0 * 4, 128)
-    band_slab = img_ref[0, :, pl.ds(h0l, band_lanes)]  # (W, BAND*4)
 
-    # hardware iota is int-only; cast after
-    jj = jax.lax.broadcasted_iota(jnp.int32, (1, out_w), 1)[0].astype(
-        jnp.float32)
-    xi = jax.lax.broadcasted_iota(jnp.int32, (out_w, src_w), 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (out_w, band_lanes), 1)
-    ybin = lane // 4
-    chan = jax.lax.broadcasted_iota(jnp.int32, (band_lanes, 4), 0) % 4
-    sel = (chan == jax.lax.broadcasted_iota(jnp.int32, (band_lanes, 4), 1)
-           ).astype(jnp.float32)
+    # All rpb rows of the block are stacked into ONE (rpb*out_w, src_w) weight
+    # matrix so the x-interpolation is a single big MXU matmul per band half.
+    # Bilinear 2-tap weights are the tent function relu(1 - |grid - coord|):
+    # exactly the one-hot construction (out-of-range coords get the same
+    # zero-border partial weights). hardware iota is int-only; cast once.
+    R = rpb * out_w
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    jf = (ridx % out_w).astype(jnp.float32)                    # out col
+    i = (ridx // out_w + blk * rpb).astype(jnp.float32)
+    sx = t * jf + (s * i + u)                                  # (R, 1)
+    sy = q * jf + (p * i + r)
+    rel = sy - h0.astype(jnp.float32)
 
-    for rr in range(ROWS_PER_BLOCK):
-        i = (blk * ROWS_PER_BLOCK + rr).astype(jnp.float32)
-        sx = t * jj + (s * i + u)  # (out_w,)
-        sy = q * jj + (p * i + r)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (R, src_w), 1).astype(jnp.float32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(xi - sx)).astype(mm_dtype)
 
-        x0 = jnp.floor(sx)
-        fx = sx - x0
-        x0i = x0.astype(jnp.int32)
-        y0 = jnp.floor(sy)
-        fy = sy - y0
-        y0i = y0.astype(jnp.int32)
+    # process the band in lane-halves: f32 matmul accumulators are materialized
+    # per half, keeping peak VMEM within the 16 MB scoped budget
+    n_halves = 2 if band_lanes >= 256 else 1
+    hl = band_lanes // n_halves
+    hb = hl // 4  # y rows per half
+    acc = None
+    for h in range(n_halves):
+        # h0 is 32-aligned by construction; the hint lets Mosaic prove the
+        # lane-dimension slice start is a multiple of 128
+        start = pl.multiple_of(h0 * 4 + h * hl, 128)
+        slab = img_ref[0, :, pl.ds(start, hl)]                 # (W, hl)
+        a = jnp.dot(wx, slab.astype(mm_dtype),
+                    preferred_element_type=jnp.float32
+                    ).astype(mm_dtype)                         # (R, hl)
 
-        # x one-hot weights; out-of-range x0 simply never matches the iota.
-        # mm_dtype=bfloat16 (f32 accumulate) doubles the MXU rate at ~0.4%
-        # pixel quantization — below JPEG noise; float32 is cv2-exact.
-        x0b = x0i[:, None]
-        wx = ((xi == x0b).astype(mm_dtype) * (1.0 - fx)[:, None].astype(mm_dtype)
-              + (xi == x0b + 1).astype(mm_dtype) * fx[:, None].astype(mm_dtype))
-        a = jnp.dot(wx, band_slab.astype(mm_dtype),
-                    preferred_element_type=jnp.float32)
-        # (out_w, BAND*4)
+        # y 2-tap tent over the small (R, hb) grid, expanded to channel lanes
+        # by a constant matmul (cheaper than a (R, hl) VPU mask build)
+        yb = (jax.lax.broadcasted_iota(jnp.int32, (R, hb), 1) + h * hb
+              ).astype(jnp.float32)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(yb - rel)).astype(mm_dtype)
+        eb = jax.lax.broadcasted_iota(jnp.int32, (hb, hl), 0)
+        el = jax.lax.broadcasted_iota(jnp.int32, (hb, hl), 1)
+        expand = (eb == el // 4).astype(mm_dtype)              # (hb, hl)
+        m = jnp.dot(wy, expand,
+                    preferred_element_type=jnp.float32).astype(mm_dtype)
 
-        # y 2-tap mask over the band; rows outside [0, band) auto-zero
-        rel = (y0i - h0)[:, None]
-        m = ((ybin == rel).astype(jnp.float32) * (1.0 - fy)[:, None]
-             + (ybin == rel + 1).astype(jnp.float32) * fy[:, None])
-        prod = a * m
-        out_row = jnp.dot(prod, sel, preferred_element_type=jnp.float32)
-        out_ref[0, 0, rr] = out_row  # (out_w, 4)
+        prod = (a * m).astype(mm_dtype)
+        chan = jax.lax.broadcasted_iota(jnp.int32, (hl, 4), 0) % 4
+        sel = (chan == jax.lax.broadcasted_iota(jnp.int32, (hl, 4), 1)
+               ).astype(mm_dtype)
+        # (4, R): channels in sublanes so the VMEM out block is not lane-padded
+        part = jax.lax.dot_general(
+            sel, prod, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    out_ref[0, 0] = acc
 
 
 @functools.partial(
@@ -116,8 +128,12 @@ def warp_affine_batch_pallas(
     """
     B, src_h, src_w, C = images.shape
     oh, ow = out_size
-    assert oh % ROWS_PER_BLOCK == 0, "output height must be divisible by 8"
-    n_blocks = oh // ROWS_PER_BLOCK
+    # bf16 halves every buffer: twice the rows fit per program (fewer programs
+    # → less per-program overhead); f32 stays at 8 to fit scoped VMEM
+    rpb = 16 if compute_dtype == jnp.bfloat16 else 8
+    while oh % rpb:
+        rpb //= 2
+    n_blocks = oh // rpb
     # MXU work scales with the band; serving can narrow it (multiple of 32,
     # rotation limit per the module docstring)
     assert band % 32 == 0, "band must be a multiple of 32"
@@ -136,8 +152,8 @@ def warp_affine_batch_pallas(
     )  # (B, 8)
 
     # per-(image, block) 32-aligned band start from the block's corner extrema
-    blk = jnp.arange(n_blocks, dtype=jnp.float32) * ROWS_PER_BLOCK
-    corners_i = jnp.stack([blk, blk + ROWS_PER_BLOCK - 1], 1)  # (n_blocks, 2)
+    blk = jnp.arange(n_blocks, dtype=jnp.float32) * rpb
+    corners_i = jnp.stack([blk, blk + rpb - 1], 1)  # (n_blocks, 2)
     corners_j = jnp.asarray([0.0, ow - 1.0])
     sy = (p[:, None, None, None] * corners_i[None, :, :, None]
           + q[:, None, None, None] * corners_j[None, None, None, :]
@@ -147,15 +163,16 @@ def warp_affine_batch_pallas(
     h0 = (h0 // 32) * 32  # lane-slice alignment (h0·4 must be 128-aligned)
     h0 = h0.reshape(-1)  # (B * n_blocks,)
 
-    # transpose to (B, W, H, C4) and fold channels into lanes
-    imgs4 = images.astype(jnp.float32)
+    # transpose to (B, W, H, C4) and fold channels into lanes; pixel data rides
+    # in compute dtype (bf16 halves the per-program image block)
+    imgs4 = images.astype(compute_dtype)
     if C < 4:
         imgs4 = jnp.pad(imgs4, ((0, 0), (0, 0), (0, 0), (0, 4 - C)))
     imgs_t = jnp.transpose(imgs4, (0, 2, 1, 3)).reshape(B, src_w, src_h * 4)
 
     kernel = functools.partial(
         _warp_kernel, out_w=ow, src_h=src_h, src_w=src_w, band=band,
-        n_blocks=n_blocks, mm_dtype=compute_dtype,
+        n_blocks=n_blocks, mm_dtype=compute_dtype, rpb=rpb,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -165,8 +182,8 @@ def warp_affine_batch_pallas(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, ROWS_PER_BLOCK, ow, 4),
-            lambda bi, ci, *_: (bi, ci, 0, 0, 0),
+            (1, 1, 4, rpb * ow),
+            lambda bi, ci, *_: (bi, ci, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -174,8 +191,9 @@ def warp_affine_batch_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (B, n_blocks, ROWS_PER_BLOCK, ow, 4), jnp.float32
+            (B, n_blocks, 4, rpb * ow), jnp.float32
         ),
         interpret=interpret,
     )(h0, coeffs.reshape(-1), imgs_t)
+    out = jnp.transpose(out, (0, 1, 3, 2))  # (B, nb, rpb*ow, 4)
     return out.reshape(B, oh, ow, 4)[..., :C]

@@ -115,7 +115,8 @@ class EmbeddingService:
             & (d02 > self.min_distance)
             & (d12 > self.min_distance)
         )
-        crops = align_crop(imgs, kps, self.base_pts, self.crop_size)
+        crops = align_crop(imgs, kps, self.base_pts, self.crop_size,
+                           compute_dtype=jnp.bfloat16)
         emb = self.embedder_fn(crops)
         return emb, decode_ok & det_ok & kp_ok
 
