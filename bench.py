@@ -29,7 +29,8 @@ import numpy as np
 
 
 def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
-                   detector_kind: str = "mobile"):
+                   detector_kind: str = "mobile", rpn_pre: int = 256,
+                   rpn_post: int = 64):
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +50,7 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
     # on single-object images and keep NMS + RoI work small
     budgets = dict(
         num_classes=2, num_keypoints=3, box_detections_per_img=1,
-        rpn_pre_nms_top_n_test=256, rpn_post_nms_top_n_test=64,
+        rpn_pre_nms_top_n_test=rpn_pre, rpn_post_nms_top_n_test=rpn_post,
     )
     if detector_kind == "mobile":
         # the reference's own lightweight serving detector
@@ -121,6 +122,10 @@ def main():
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--no-bf16", action="store_true")
+    parser.add_argument("--rpn-pre", type=int, default=256,
+                        help="RPN pre-NMS proposal budget (serving knob)")
+    parser.add_argument("--rpn-post", type=int, default=64,
+                        help="RPN post-NMS proposal budget (serving knob)")
     parser.add_argument("--detector", choices=("mobile", "resnet50"),
                         default="mobile",
                         help="serving detector: the reference's lightweight "
@@ -132,7 +137,9 @@ def main():
 
     pipeline, images = build_pipeline(args.batch_size, args.image_size,
                                       bf16=not args.no_bf16,
-                                      detector_kind=args.detector)
+                                      detector_kind=args.detector,
+                                      rpn_pre=args.rpn_pre,
+                                      rpn_post=args.rpn_post)
     # compile + warmup
     out = pipeline(images)
     jax.block_until_ready(out)

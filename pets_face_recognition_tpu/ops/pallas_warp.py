@@ -42,7 +42,6 @@ BAND = 160
 def _warp_kernel(h0_ref, coeff_ref, img_ref, out_ref, *, out_w, src_h, src_w,
                  band, n_blocks, mm_dtype, rpb):
     bi = pl.program_id(0)
-    blk = pl.program_id(1)
 
     # coefficients ride scalar prefetch (SMEM), flattened (B*8,)
     p = coeff_ref[bi * 8 + 0]
@@ -52,61 +51,65 @@ def _warp_kernel(h0_ref, coeff_ref, img_ref, out_ref, *, out_w, src_h, src_w,
     t = coeff_ref[bi * 8 + 4]
     u = coeff_ref[bi * 8 + 5]
 
-    h0 = h0_ref[bi * n_blocks + blk]
     band_lanes = band * 4
-
-    # All rpb rows of the block are stacked into ONE (rpb*out_w, src_w) weight
-    # matrix so the x-interpolation is a single big MXU matmul per band half.
-    # Bilinear 2-tap weights are the tent function relu(1 - |grid - coord|):
-    # exactly the one-hot construction (out-of-range coords get the same
-    # zero-border partial weights). hardware iota is int-only; cast once.
     R = rpb * out_w
     ridx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
     jf = (ridx % out_w).astype(jnp.float32)                    # out col
-    i = (ridx // out_w + blk * rpb).astype(jnp.float32)
-    sx = t * jf + (s * i + u)                                  # (R, 1)
-    sy = q * jf + (p * i + r)
-    rel = sy - h0.astype(jnp.float32)
-
+    i0 = (ridx // out_w).astype(jnp.float32)                   # row in block
     xi = jax.lax.broadcasted_iota(jnp.int32, (R, src_w), 1).astype(jnp.float32)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(xi - sx)).astype(mm_dtype)
 
-    # process the band in lane-halves: f32 matmul accumulators are materialized
-    # per half, keeping peak VMEM within the 16 MB scoped budget
-    n_halves = 2 if band_lanes >= 256 else 1
-    hl = band_lanes // n_halves
-    hb = hl // 4  # y rows per half
-    acc = None
-    for h in range(n_halves):
-        # h0 is 32-aligned by construction; the hint lets Mosaic prove the
-        # lane-dimension slice start is a multiple of 128
-        start = pl.multiple_of(h0 * 4 + h * hl, 128)
-        slab = img_ref[0, :, pl.ds(start, hl)]                 # (W, hl)
-        a = jnp.dot(wx, slab.astype(mm_dtype),
-                    preferred_element_type=jnp.float32
-                    ).astype(mm_dtype)                         # (R, hl)
+    # the whole image is one program (unrolled over row blocks): per-program
+    # overhead (~3.6 us) was a third of the kernel at one-block programs
+    for blk in range(n_blocks):
+        h0 = h0_ref[bi * n_blocks + blk]
+        # All rpb rows of the block are stacked into ONE (rpb*out_w, src_w)
+        # weight matrix so the x-interpolation is a single big MXU matmul per
+        # band half. Bilinear 2-tap weights are the tent function
+        # relu(1 - |grid - coord|): exactly the one-hot construction
+        # (out-of-range coords get the same zero-border partial weights).
+        i = i0 + float(blk * rpb)
+        sx = t * jf + (s * i + u)                              # (R, 1)
+        sy = q * jf + (p * i + r)
+        rel = sy - h0.astype(jnp.float32)
 
-        # y 2-tap tent over the small (R, hb) grid, expanded to channel lanes
-        # by a constant matmul (cheaper than a (R, hl) VPU mask build)
-        yb = (jax.lax.broadcasted_iota(jnp.int32, (R, hb), 1) + h * hb
-              ).astype(jnp.float32)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(yb - rel)).astype(mm_dtype)
-        eb = jax.lax.broadcasted_iota(jnp.int32, (hb, hl), 0)
-        el = jax.lax.broadcasted_iota(jnp.int32, (hb, hl), 1)
-        expand = (eb == el // 4).astype(mm_dtype)              # (hb, hl)
-        m = jnp.dot(wy, expand,
-                    preferred_element_type=jnp.float32).astype(mm_dtype)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(xi - sx)).astype(mm_dtype)
 
-        prod = (a * m).astype(mm_dtype)
-        chan = jax.lax.broadcasted_iota(jnp.int32, (hl, 4), 0) % 4
-        sel = (chan == jax.lax.broadcasted_iota(jnp.int32, (hl, 4), 1)
-               ).astype(mm_dtype)
-        # (4, R): channels in sublanes so the VMEM out block is not lane-padded
-        part = jax.lax.dot_general(
-            sel, prod, (((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc = part if acc is None else acc + part
-    out_ref[0, 0] = acc
+        # process the band in lane-halves: f32 matmul accumulators are
+        # materialized per half, keeping peak VMEM within the 16 MB budget
+        n_halves = 2 if band_lanes >= 256 else 1
+        hl = band_lanes // n_halves
+        hb = hl // 4  # y rows per half
+        acc = None
+        for h in range(n_halves):
+            # h0 is 32-aligned by construction; the hint lets Mosaic prove
+            # the lane-dimension slice start is a multiple of 128
+            start = pl.multiple_of(h0 * 4 + h * hl, 128)
+            slab = img_ref[0, :, pl.ds(start, hl)]             # (W, hl)
+            a = jnp.dot(wx, slab.astype(mm_dtype),
+                        preferred_element_type=jnp.float32
+                        ).astype(mm_dtype)                     # (R, hl)
+
+            # y 2-tap tent over the small (R, hb) grid, expanded to channel
+            # lanes by a constant matmul (cheaper than a (R, hl) VPU mask)
+            yb = (jax.lax.broadcasted_iota(jnp.int32, (R, hb), 1) + h * hb
+                  ).astype(jnp.float32)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(yb - rel)).astype(mm_dtype)
+            eb = jax.lax.broadcasted_iota(jnp.int32, (hb, hl), 0)
+            el = jax.lax.broadcasted_iota(jnp.int32, (hb, hl), 1)
+            expand = (eb == el // 4).astype(mm_dtype)          # (hb, hl)
+            m = jnp.dot(wy, expand,
+                        preferred_element_type=jnp.float32).astype(mm_dtype)
+
+            prod = (a * m).astype(mm_dtype)
+            chan = jax.lax.broadcasted_iota(jnp.int32, (hl, 4), 0) % 4
+            sel = (chan == jax.lax.broadcasted_iota(jnp.int32, (hl, 4), 1)
+                   ).astype(mm_dtype)
+            # (4, R): channels in sublanes → VMEM block is not lane-padded
+            part = jax.lax.dot_general(
+                sel, prod, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+        out_ref[0, blk] = acc
 
 
 @functools.partial(
@@ -176,14 +179,14 @@ def warp_affine_batch_pallas(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, n_blocks),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, src_w, src_h * 4), lambda bi, ci, *_: (bi, 0, 0),
+            pl.BlockSpec((1, src_w, src_h * 4), lambda bi, *_: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 4, rpb * ow),
-            lambda bi, ci, *_: (bi, ci, 0, 0),
+            (1, n_blocks, 4, rpb * ow),
+            lambda bi, *_: (bi, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
