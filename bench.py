@@ -62,15 +62,16 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
         )
         det_backbone = BackboneWithFPN(
             backbone=mobilenet_v3_large(features_only=True, dtype=dtype),
-            in_levels=("c4", "c5"),
+            in_levels=("c4", "c5"), dtype=dtype,
         )
     else:
         det_cfg = RCNNConfig(**budgets)
         det_backbone = BackboneWithFPN(
             backbone=resnet50(features_only=True, frozen_stats=True,
-                              dtype=dtype)
+                              dtype=dtype),
+            dtype=dtype,
         )
-    detector = GeneralizedRCNN(backbone=det_backbone, cfg=det_cfg)
+    detector = GeneralizedRCNN(backbone=det_backbone, cfg=det_cfg, dtype=dtype)
     embedder = resnet50_embedder(embedding_dim=512, dtype=dtype)
     base_pts = jnp.asarray([[70.0, 92.0], [154.0, 92.0], [112.0, 160.0]])
 

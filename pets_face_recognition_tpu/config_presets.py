@@ -56,6 +56,7 @@ def build_fe_config(
     output: str = "results",
     num_workers: int = 8,
     compute_dtype: str = "auto",
+    n_pairs: int = 10000,
 ) -> dict:
     """Build the full FE config dict (reference ``cat_fe_head.py`` recipe).
 
@@ -101,7 +102,7 @@ def build_fe_config(
     for a, b in enumerate(train_users):
         dataset.label_map[b] = a
 
-    pair_gen = PairGenerator(dataset, 10000, 1, None, seed, val_users)
+    pair_gen = PairGenerator(dataset, n_pairs, 1, None, seed, val_users)
     num_classes = len(train_users) + n_extra_classes
 
     steps_per_epoch = max(len(train) // train_batch_size, 1)

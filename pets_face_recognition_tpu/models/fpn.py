@@ -66,9 +66,10 @@ class BackboneWithFPN(nn.Module):
     out_channels: int = 256
     in_levels: Sequence[str] = ("c2", "c3", "c4", "c5")
     add_p6: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = self.backbone(x, train=train)
         return FPN(self.out_channels, self.in_levels, self.add_p6,
-                   name="fpn")(feats)
+                   dtype=self.dtype, name="fpn")(feats)

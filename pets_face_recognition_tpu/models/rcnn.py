@@ -74,19 +74,26 @@ class RCNNConfig:
 class GeneralizedRCNN(nn.Module):
     backbone: nn.Module  # BackboneWithFPN: images -> {'p2'..'p6'}
     cfg: RCNNConfig
+    # compute dtype for RPN + RoI heads (params/stats stay float32; final
+    # predictor logits are always float32) — bfloat16 on TPU halves the head
+    # activation HBM traffic
+    dtype: Any = jnp.float32
 
     def setup(self):
         c = self.cfg
         self.rpn_head = RPNHead(
-            num_anchors=len(c.anchor_sizes[0]) * len(c.aspect_ratios), name="rpn"
+            num_anchors=len(c.anchor_sizes[0]) * len(c.aspect_ratios),
+            dtype=self.dtype, name="rpn"
         )
-        self.box_head = rh.TwoMLPHead(name="box_head")
+        self.box_head = rh.TwoMLPHead(dtype=self.dtype, name="box_head")
         self.box_predictor = rh.FastRCNNPredictor(c.num_classes,
                                                   name="box_predictor")
         if c.with_mask:
-            self.mask_head = rh.MaskHead(c.num_classes, name="mask_head")
+            self.mask_head = rh.MaskHead(c.num_classes, dtype=self.dtype,
+                                         name="mask_head")
         if c.num_keypoints:
             self.keypoint_head = rh.KeypointHead(c.num_keypoints,
+                                                 dtype=self.dtype,
                                                  name="keypoint_head")
 
     # ------------------------------------------------------------------ #

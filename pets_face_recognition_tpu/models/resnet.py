@@ -112,13 +112,16 @@ def _fused_stem_conv(x, kernel, dtype):
     k8 = jnp.pad(kernel.astype(dtype), ((1, 0), (1, 0), (0, 0), (0, 0)))
     k = k8.reshape(4, 2, 4, 2, C, 64)
     k = jnp.transpose(k, (0, 2, 1, 3, 4, 5)).reshape(4, 4, 4 * C, 64)
+    # NOTE: no preferred_element_type here — a float32 accumulator type with
+    # bfloat16 operands breaks the conv transpose rule under autodiff (the
+    # float32 cotangent meets the bfloat16 kernel). The MXU accumulates in
+    # float32 internally either way.
     return jax.lax.conv_general_dilated(
         y.astype(dtype), k,
         window_strides=(1, 1),
         padding=((2, 1), (2, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(dtype)
+    )
 
 
 class ResNet(nn.Module):

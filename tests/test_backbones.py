@@ -84,3 +84,29 @@ def test_swin_keypoint_rcnn_window_divisible(rng):
     )
     dets = model.apply(variables, x, train=False)
     assert dets["keypoints"].shape == (1, 1, 3, 3)
+
+
+def test_bf16_fused_stem_train_grad(rng):
+    """Regression: bfloat16 compute through the space-to-depth stem must be
+    differentiable (a float32 accumulator type on the stem conv broke the conv
+    transpose rule under autodiff — caught by the TPU FE training smoke)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pets_face_recognition_tpu.models import resnet50_embedder
+
+    m = resnet50_embedder(dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        out, _ = m.apply(
+            {"params": p, "batch_stats": v["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return (out.astype(jnp.float32) ** 2).mean()
+
+    g = jax.grad(loss)(v["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(jnp.isfinite(l).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)

@@ -1,0 +1,142 @@
+"""Generate tiny synthetic datasets in the reference on-disk layouts.
+
+The image in this environment has no network egress, so the real corpora
+(``download_datasets.py``) are unavailable. This tool synthesizes structurally
+identical miniatures so every training entry point can be driven end-to-end
+(``configs/smoke/*.py`` → ``main.py`` / ``main_detection.py`` /
+``main_keypoints.py``), exercising the exact dataset parsers:
+
+- ``smoke_fe_cats/``: identity card folders of JPEGs (``RecDataset`` layout,
+  reference ``data_loading/dataset.py:57-64``) — per-identity color/texture
+  signature so the FE can actually separate classes;
+- ``CAT_DATASET/``: ``*.jpg`` + ``*.jpg.cat`` 9-landmark files (reference
+  ``data_loading/lmd_dataset.py:48-75``), landmarks drawn as bright dots;
+- ``oxford-iiit-pet/``: ``images/``, ``annotations/{trainval,test}.txt``,
+  ``annotations/xmls/*.xml``, ``annotations/trimaps/*.png`` (reference
+  ``data_loading/oxford.py``), with an elliptical "pet" blob whose trimap
+  matches it.
+
+Usage: ``python tools/make_smoke_datasets.py [--root /tmp/pfr_smoke]``.
+Regeneration is deterministic (seeded) and idempotent.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+
+def _texture(rng: np.random.RandomState, base: np.ndarray, size: int) -> np.ndarray:
+    """Identity-colored noisy texture with a few geometric features."""
+    img = np.clip(
+        base[None, None, :]
+        + rng.normal(0, 25, (size, size, 3)), 0, 255
+    ).astype(np.uint8)
+    # two "eyes" and a "nose" so crops have structure
+    yy, xx = np.mgrid[:size, :size]
+    for cx, cy, r, col in ((size // 3, size // 3, size // 12, 0),
+                           (2 * size // 3, size // 3, size // 12, 0),
+                           (size // 2, 2 * size // 3, size // 10, 255)):
+        m = (xx - cx) ** 2 + (yy - cy) ** 2 < r ** 2
+        img[m] = col
+    return img
+
+
+def make_fe(root: Path, n_ids: int = 16, n_imgs: int = 6, size: int = 224,
+            seed: int = 0) -> Path:
+    rng = np.random.RandomState(seed)
+    out = root / "smoke_fe_cats"
+    for i in range(n_ids):
+        d = out / f"card_{i:03d}"
+        d.mkdir(parents=True, exist_ok=True)
+        base = rng.uniform(40, 215, 3)
+        for j in range(n_imgs):
+            Image.fromarray(_texture(rng, base, size)).save(
+                d / f"img_{j}.jpg", quality=92
+            )
+    return out
+
+
+def make_cat_dataset(root: Path, n_imgs: int = 48, size: int = 320,
+                     seed: int = 1) -> Path:
+    rng = np.random.RandomState(seed)
+    out = root / "CAT_DATASET" / "CAT_00"
+    out.mkdir(parents=True, exist_ok=True)
+    for i in range(n_imgs):
+        img = rng.randint(30, 120, (size, size, 3), np.uint8)
+        cx, cy = rng.randint(size // 3, 2 * size // 3, 2)
+        d = rng.randint(30, 60)  # inter-eye half distance
+        lx, ly = cx - d, cy - rng.randint(-5, 6)
+        rx, ry = cx + d, cy - rng.randint(-5, 6)
+        nx, ny = cx + rng.randint(-8, 9), cy + int(1.2 * d)
+        pts = [(lx, ly), (rx, ry), (nx, ny)]
+        # 6 filler landmarks (ears etc) to complete the 9-landmark format
+        pts += [(int(np.clip(x + rng.randint(-d, d), 1, size - 2)),
+                 int(np.clip(y - d + rng.randint(-10, 10), 1, size - 2)))
+                for x, y in (pts[0], pts[1], pts[2])] * 2
+        yy, xx = np.mgrid[:size, :size]
+        for (x, y), col in zip(pts[:3], ((255, 255, 255), (255, 255, 255),
+                                         (255, 128, 128))):
+            m = (xx - x) ** 2 + (yy - y) ** 2 < 36
+            img[m] = col
+        name = f"img_{i:05d}.jpg"
+        Image.fromarray(img).save(out / name, quality=92)
+        coords = " ".join(f"{int(x)} {int(y)}" for x, y in pts[:9])
+        (out / f"{name}.cat").write_text(f"9 {coords}")
+    return out.parent
+
+
+_XML = """<annotation><object><name>{name}</name><bndbox>
+<xmin>{x1}</xmin><ymin>{y1}</ymin><xmax>{x2}</xmax><ymax>{y2}</ymax>
+</bndbox></object></annotation>"""
+
+
+def make_oxford(root: Path, n_imgs: int = 40, size: int = 320,
+                seed: int = 2) -> Path:
+    rng = np.random.RandomState(seed)
+    base = root / "oxford-iiit-pet"
+    (base / "images").mkdir(parents=True, exist_ok=True)
+    (base / "annotations" / "xmls").mkdir(parents=True, exist_ok=True)
+    (base / "annotations" / "trimaps").mkdir(parents=True, exist_ok=True)
+    lines = {"trainval": [], "test": []}
+    for i in range(n_imgs):
+        species = "cat" if i % 2 == 0 else "dog"
+        stem = f"{'Abyssinian' if species == 'cat' else 'beagle'}_{i + 1}"
+        img = rng.randint(140, 200, (size, size, 3), np.uint8)
+        cx, cy = rng.randint(size // 3, 2 * size // 3, 2)
+        ax, ay = rng.randint(40, 80, 2)
+        yy, xx = np.mgrid[:size, :size]
+        blob = ((xx - cx) / ax) ** 2 + ((yy - cy) / ay) ** 2 < 1.0
+        img[blob] = rng.randint(0, 100, 3, np.uint8)
+        Image.fromarray(img).save(base / "images" / f"{stem}.jpg", quality=92)
+        # trimap: 1 = fg, 2 = bg, 3 = boundary (reference: != 2 is foreground)
+        tri = np.full((size, size), 2, np.uint8)
+        tri[blob] = 1
+        Image.fromarray(tri).save(base / "annotations" / "trimaps" / f"{stem}.png")
+        # head bbox xml: top part of the blob
+        x1, x2 = max(0, cx - ax // 2), min(size - 1, cx + ax // 2)
+        y1, y2 = max(0, cy - ay), cy
+        (base / "annotations" / "xmls" / f"{stem}.xml").write_text(
+            _XML.format(name=species, x1=x1, y1=y1, x2=x2, y2=y2)
+        )
+        label = 1 if species == "cat" else 2
+        lines["trainval" if i % 5 else "test"].append(f"{stem} {label} 1 1")
+    for split, ls in lines.items():
+        (base / "annotations" / f"{split}.txt").write_text("\n".join(ls) + "\n")
+    return base
+
+
+def main(root: str = "/tmp/pfr_smoke"):
+    rootp = Path(root)
+    print("fe:", make_fe(rootp))
+    print("cat landmarks:", make_cat_dataset(rootp))
+    print("oxford:", make_oxford(rootp))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/pfr_smoke")
+    main(**vars(ap.parse_args()))
