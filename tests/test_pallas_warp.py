@@ -57,3 +57,29 @@ def test_pallas_warp_identity_and_scale(rng):
     want2 = np.asarray(warp_perspective(jnp.asarray(img[0]), jnp.asarray(H2[0]),
                                         (64, 64)))
     np.testing.assert_allclose(out2[0], want2, atol=1e-3)
+
+
+def test_pallas_warp_v3_matches_projective_reference(rng):
+    from pets_face_recognition_tpu.ops.pallas_warp import (
+        warp_affine_batch_pallas_v3,
+    )
+
+    B = 3
+    imgs = rng.uniform(0, 255, (B, 320, 320, 3)).astype(np.float32)
+    Hs = []
+    for b in range(B):
+        pts = np.array([[100, 120], [200, 118 + 10 * b], [150, 190]],
+                       np.float32) + rng.uniform(-15, 15, (3, 2)).astype(
+                           np.float32)
+        Hs.append(_alignment_H(pts))
+    Hs = np.stack(Hs)
+
+    got = np.asarray(warp_affine_batch_pallas_v3(
+        jnp.asarray(imgs), jnp.asarray(Hs), (224, 224), interpret=True,
+    ))
+    for b in range(B):
+        want = np.asarray(warp_perspective(
+            jnp.asarray(imgs[b]), jnp.asarray(Hs[b]), (224, 224)
+        ))
+        np.testing.assert_allclose(got[b], want, atol=3e-2,
+                                   err_msg=f"batch {b}")
