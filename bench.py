@@ -15,8 +15,8 @@ Detector choices (``--detector``), both reference model families:
 Weights are randomly initialized (throughput is weight-independent); compute is
 bfloat16 on the MXU with float32 params. Prints exactly one JSON line.
 
-Measured on this image's v5e (batch 128 @320px): mobile ≈ 2170 crops/s,
-resnet50 ≈ 900 crops/s. See PERF.md for the stage breakdown and kernel notes.
+Measured on this image's v5e (batch 128 @320px): mobile ≈ 2890 crops/s,
+resnet50 ≈ 1000 crops/s. See PERF.md for the stage breakdown and kernel notes.
 """
 
 from __future__ import annotations
@@ -29,8 +29,8 @@ import numpy as np
 
 
 def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
-                   detector_kind: str = "mobile", rpn_pre: int = 256,
-                   rpn_post: int = 64):
+                   detector_kind: str = "mobile", rpn_pre: int = 128,
+                   rpn_post: int = 32):
     import jax
     import jax.numpy as jnp
 
@@ -46,8 +46,10 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
     from pets_face_recognition_tpu.ops.homography import align_crop
 
     dtype = jnp.bfloat16 if bf16 else jnp.float32
-    # serving budgets: one pet head per image — 256/64 proposals lose nothing
-    # on single-object images and keep NMS + RoI work small
+    # serving budgets: one pet head per image — 128/32 proposals lose nothing
+    # on single-object images and keep NMS + RoI work small (the box
+    # RoIAlign+head stage scales linearly with rpn_post; quality configs keep
+    # the torchvision 1000/1000 defaults)
     budgets = dict(
         num_classes=2, num_keypoints=3, box_detections_per_img=1,
         rpn_pre_nms_top_n_test=rpn_pre, rpn_post_nms_top_n_test=rpn_post,
@@ -123,9 +125,9 @@ def main():
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--no-bf16", action="store_true")
-    parser.add_argument("--rpn-pre", type=int, default=256,
+    parser.add_argument("--rpn-pre", type=int, default=128,
                         help="RPN pre-NMS proposal budget (serving knob)")
-    parser.add_argument("--rpn-post", type=int, default=64,
+    parser.add_argument("--rpn-post", type=int, default=32,
                         help="RPN post-NMS proposal budget (serving knob)")
     parser.add_argument("--detector", choices=("mobile", "resnet50"),
                         default="mobile",
