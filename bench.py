@@ -30,7 +30,7 @@ import numpy as np
 
 def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
                    detector_kind: str = "mobile", rpn_pre: int = 128,
-                   rpn_post: int = 32):
+                   rpn_post: int = 32, band: int = 128):
     import jax
     import jax.numpy as jnp
 
@@ -109,7 +109,7 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
         # proportional): admits rotations to ~±20deg at full-frame-face scale,
         # beyond anything the landmark validity checks let through
         crops = warp_affine_batch_pallas(imgs, Hs, (224, 224),
-                                         compute_dtype=jnp.bfloat16, band=128)
+                                         compute_dtype=jnp.bfloat16, band=band)
         return embedder.apply(emb_vars, crops, train=False)
 
     def pipeline(imgs):
@@ -125,6 +125,9 @@ def main():
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--no-bf16", action="store_true")
+    parser.add_argument("--band", type=int, default=128,
+                        help="warp kernel y-band (rotation envelope knob; "
+                             "128 admits ~±17deg at alignment scale, 96 ~±13)")
     parser.add_argument("--rpn-pre", type=int, default=128,
                         help="RPN pre-NMS proposal budget (serving knob)")
     parser.add_argument("--rpn-post", type=int, default=32,
@@ -142,7 +145,8 @@ def main():
                                       bf16=not args.no_bf16,
                                       detector_kind=args.detector,
                                       rpn_pre=args.rpn_pre,
-                                      rpn_post=args.rpn_post)
+                                      rpn_post=args.rpn_post,
+                                      band=args.band)
     # compile + warmup
     out = pipeline(images)
     jax.block_until_ready(out)

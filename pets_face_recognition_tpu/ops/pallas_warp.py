@@ -43,7 +43,7 @@ BAND = 160
 
 
 def _warp_kernel(h0_ref, coeff_ref, img_ref, out_ref, *, out_w, src_h,
-                 src_w, band, n_blocks, mm_dtype, rpb):
+                 src_w, band, n_blocks, mm_dtype, rpb, n_ch):
     bi = pl.program_id(0)
     blk = pl.program_id(1)
 
@@ -71,7 +71,9 @@ def _warp_kernel(h0_ref, coeff_ref, img_ref, out_ref, *, out_w, src_h,
     yb = jax.lax.broadcasted_iota(jnp.int32, (band, R), 0).astype(jnp.float32)
     mT = jnp.maximum(0.0, 1.0 - jnp.abs(yb - rel))
 
-    for c in range(4):
+    # only real channels: the pad plane (C<4) is all zeros — skipping it cuts
+    # 25% of the MXU work at C=3; its output rows are dropped by the caller
+    for c in range(n_ch):
         # h0 is 8-aligned (sublane granularity)
         start = pl.multiple_of(c * src_h + h0, 8)
         slab = img_ref[0, pl.ds(start, band), :]               # (band, W)
@@ -137,22 +139,22 @@ def warp_affine_batch_pallas(
     h0 = (h0 // 8) * 8  # sublane-slice alignment
     h0 = h0.reshape(-1)  # (B * n_blocks,)
 
-    # channel-plane layout (B, 4*H, W); pixel data rides in compute dtype
-    # (bf16 halves the per-program image block)
-    imgs4 = images.astype(compute_dtype)
-    if C < 4:
-        imgs4 = jnp.pad(imgs4, ((0, 0), (0, 0), (0, 0), (0, 4 - C)))
-    imgs_p = jnp.transpose(imgs4, (0, 3, 1, 2)).reshape(B, 4 * src_h, src_w)
+    # channel-plane layout (B, C*H, W); pixel data rides in compute dtype
+    # (bf16 halves the per-program image block). Only real channels get a
+    # plane — the kernel loops c < C, so C=3 does 25% less MXU work than the
+    # earlier fixed-4-plane layout.
+    imgs_p = jnp.transpose(images.astype(compute_dtype), (0, 3, 1, 2))
+    imgs_p = imgs_p.reshape(B, C * src_h, src_w)
 
     kernel = functools.partial(
         _warp_kernel, out_w=ow, src_h=src_h, src_w=src_w, band=band,
-        n_blocks=n_blocks, mm_dtype=compute_dtype, rpb=rpb,
+        n_blocks=n_blocks, mm_dtype=compute_dtype, rpb=rpb, n_ch=C,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, 4 * src_h, src_w), lambda bi, ci, *_: (bi, 0, 0),
+            pl.BlockSpec((1, C * src_h, src_w), lambda bi, ci, *_: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
