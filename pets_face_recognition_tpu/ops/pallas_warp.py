@@ -67,9 +67,21 @@ def _warp_kernel(h0_ref, coeff_ref, img_ref, out_ref, *, out_w, src_h,
     rel = sy - h0.astype(jnp.float32)
 
     xi = jax.lax.broadcasted_iota(jnp.int32, (src_w, R), 0).astype(jnp.float32)
-    wxT = jnp.maximum(0.0, 1.0 - jnp.abs(xi - sx)).astype(mm_dtype)
+    wxT = jnp.maximum(0.0, 1.0 - jnp.abs(xi - sx))
     yb = jax.lax.broadcasted_iota(jnp.int32, (band, R), 0).astype(jnp.float32)
     mT = jnp.maximum(0.0, 1.0 - jnp.abs(yb - rel))
+
+    int8_mode = mm_dtype == jnp.int8
+    if int8_mode:
+        # int8 MXU runs 2x bf16 on v5e. Tent weights quantize to 1/127 steps,
+        # pixels to 1/254 (see caller); the zero-point correction rides one
+        # extra 8-row matmul (colsum of the quantized weights).
+        wxT = jnp.round(wxT * 127.0).astype(jnp.int8)
+        ones8 = jnp.full((8, src_w), 1, jnp.int8)
+        colsum = jnp.dot(ones8, wxT, preferred_element_type=jnp.int32)[0:1]
+        colsum_f = colsum.astype(jnp.float32)                  # (1, R)
+    else:
+        wxT = wxT.astype(mm_dtype)
 
     # only real channels: the pad plane (C<4) is all zeros — skipping it cuts
     # 25% of the MXU work at C=3; its output rows are dropped by the caller
@@ -77,8 +89,15 @@ def _warp_kernel(h0_ref, coeff_ref, img_ref, out_ref, *, out_w, src_h,
         # h0 is 8-aligned (sublane granularity)
         start = pl.multiple_of(c * src_h + h0, 8)
         slab = img_ref[0, pl.ds(start, band), :]               # (band, W)
-        aT = jnp.dot(slab.astype(mm_dtype), wxT,
-                     preferred_element_type=jnp.float32)       # (band, R)
+        if int8_mode:
+            acc = jnp.dot(slab, wxT,
+                          preferred_element_type=jnp.int32)    # (band, R)
+            # pixel q = round(254*img) - 127  =>  img = (q + 127) / 254
+            aT = (acc.astype(jnp.float32) + 127.0 * colsum_f) * (
+                1.0 / (254.0 * 127.0))
+        else:
+            aT = jnp.dot(slab.astype(mm_dtype), wxT,
+                         preferred_element_type=jnp.float32)   # (band, R)
         # sublane reduction to one output row; keep 2-D (1, R) for Mosaic
         row = jnp.sum(aT * mT, axis=0, keepdims=True)
         out_ref[0, 0, pl.ds(c, 1), :] = row
@@ -140,10 +159,18 @@ def warp_affine_batch_pallas(
     h0 = h0.reshape(-1)  # (B * n_blocks,)
 
     # channel-plane layout (B, C*H, W); pixel data rides in compute dtype
-    # (bf16 halves the per-program image block). Only real channels get a
-    # plane — the kernel loops c < C, so C=3 does 25% less MXU work than the
-    # earlier fixed-4-plane layout.
-    imgs_p = jnp.transpose(images.astype(compute_dtype), (0, 3, 1, 2))
+    # (bf16 halves the per-program image block, int8 quarters it). Only real
+    # channels get a plane — the kernel loops c < C, so C=3 does 25% less MXU
+    # work than the earlier fixed-4-plane layout.
+    if compute_dtype == jnp.int8:
+        # int8 serving mode: pixels must be in [0, 1]; q = round(254*img) - 127.
+        # Max abs pixel error ~0.5/254 + tent quantization ~0.5/127 ≈ 0.6% —
+        # the same order as bfloat16's 0.4%, far below JPEG noise.
+        q = jnp.clip(jnp.round(images.astype(jnp.float32) * 254.0) - 127.0,
+                     -127.0, 127.0).astype(jnp.int8)
+        imgs_p = jnp.transpose(q, (0, 3, 1, 2))
+    else:
+        imgs_p = jnp.transpose(images.astype(compute_dtype), (0, 3, 1, 2))
     imgs_p = imgs_p.reshape(B, C * src_h, src_w)
 
     kernel = functools.partial(

@@ -59,6 +59,29 @@ def test_pallas_warp_identity_and_scale(rng):
     np.testing.assert_allclose(out2[0], want2, atol=1e-3)
 
 
+def test_pallas_warp_int8_close_to_f32(rng):
+    """int8 serving mode: quantization error bounded by ~0.6% of the pixel
+    range ([0, 1] inputs required by the int8 path)."""
+    B = 2
+    imgs = rng.uniform(0, 1, (B, 320, 320, 3)).astype(np.float32)
+    Hs = []
+    for b in range(B):
+        pts = np.array([[100, 120], [200, 118 + 10 * b], [150, 190]],
+                       np.float32) + rng.uniform(-15, 15, (3, 2)).astype(
+                           np.float32)
+        Hs.append(_alignment_H(pts))
+    Hs = np.stack(Hs)
+
+    f32 = np.asarray(warp_affine_batch_pallas(
+        jnp.asarray(imgs), jnp.asarray(Hs), (224, 224), interpret=True,
+    ))
+    i8 = np.asarray(warp_affine_batch_pallas(
+        jnp.asarray(imgs), jnp.asarray(Hs), (224, 224), interpret=True,
+        compute_dtype=jnp.int8,
+    ))
+    assert np.abs(f32 - i8).max() < 8e-3
+
+
 def test_pallas_warp_v3_matches_projective_reference(rng):
     from pets_face_recognition_tpu.ops.pallas_warp import (
         warp_affine_batch_pallas_v3,
