@@ -15,8 +15,8 @@ Detector choices (``--detector``), both reference model families:
 Weights are randomly initialized (throughput is weight-independent); compute is
 bfloat16 on the MXU with float32 params. Prints exactly one JSON line.
 
-Measured on this image's v5e (batch 128 @320px): mobile ≈ 2890 crops/s,
-resnet50 ≈ 1000 crops/s. See PERF.md for the stage breakdown and kernel notes.
+Measured on this image's v5e (batch 128 @320px): mobile ≈ 3700 crops/s,
+resnet50 ≈ 1100 crops/s. See PERF.md for the stage breakdown and kernel notes.
 """
 
 from __future__ import annotations
@@ -30,7 +30,7 @@ import numpy as np
 
 def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
                    detector_kind: str = "mobile", rpn_pre: int = 128,
-                   rpn_post: int = 32, band: int = 96,
+                   rpn_post: int = 16, band: int = 96,
                    warp_dtype: str = "bfloat16"):
     import jax
     import jax.numpy as jnp
@@ -47,7 +47,7 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
     from pets_face_recognition_tpu.ops.homography import align_crop
 
     dtype = jnp.bfloat16 if bf16 else jnp.float32
-    # serving budgets: one pet head per image — 128/32 proposals lose nothing
+    # serving budgets: one pet head per image — 128/16 proposals lose nothing
     # on single-object images and keep NMS + RoI work small (the box
     # RoIAlign+head stage scales linearly with rpn_post; quality configs keep
     # the torchvision 1000/1000 defaults)
@@ -106,11 +106,11 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
         dst4 = jnp.concatenate([base.mean(axis=1, keepdims=True), base], axis=1)
         Hs = solve_homography(src4, dst4)
         Hs = Hs.at[:, 2, 0].set(0.0).at[:, 2, 1].set(0.0)
-        # band=128 narrows the warp kernel's static y-band (MXU work is
-        # proportional): admits rotations to ~±20deg at full-frame-face scale,
-        # beyond anything the landmark validity checks let through
-        # int8 warp mode: 2x MXU rate, ~0.6% pixel quantization (vs bf16's
-        # 0.4%) — both below JPEG noise; requires [0, 1] pixel inputs
+        # band narrows the warp kernel's static y-band (MXU work is
+        # proportional): 96 admits rotations to ~±13deg at alignment scale,
+        # clamping gracefully beyond. int8 warp mode: 2x MXU rate, ~0.6% pixel
+        # quantization (vs bf16's 0.4%) — both below JPEG noise; requires
+        # [0, 1] pixel inputs
         wdt = jnp.int8 if warp_dtype == "int8" else jnp.bfloat16
         crops = warp_affine_batch_pallas(imgs, Hs, (224, 224),
                                          compute_dtype=wdt, band=band)
@@ -140,7 +140,7 @@ def main():
                              "pixel quantization, below JPEG noise)")
     parser.add_argument("--rpn-pre", type=int, default=128,
                         help="RPN pre-NMS proposal budget (serving knob)")
-    parser.add_argument("--rpn-post", type=int, default=32,
+    parser.add_argument("--rpn-post", type=int, default=16,
                         help="RPN post-NMS proposal budget (serving knob)")
     parser.add_argument("--detector", choices=("mobile", "resnet50"),
                         default="mobile",

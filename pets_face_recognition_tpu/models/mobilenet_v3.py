@@ -50,9 +50,12 @@ class InvertedResidual(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = _hard_swish if self.use_hs else nn.relu
+        # eval-mode BN is scale+shift: keep it in compute dtype so the block
+        # stays bfloat16 end to end (see resnet.py BN note); batch-stat
+        # training mode stays float32
         norm = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.99, epsilon=1e-3,
-            dtype=jnp.float32, name=name)
+            dtype=jnp.float32 if train else self.dtype, name=name)
         inp = x.shape[-1]
         y = x
         if self.exp != inp:
@@ -107,7 +110,7 @@ class MobileNetV3Large(nn.Module):
     def __call__(self, x, train: bool = False):
         norm = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.99, epsilon=1e-3,
-            dtype=jnp.float32, name=name)
+            dtype=jnp.float32 if train else self.dtype, name=name)
         x = _hard_swish(norm("bn_stem")(
             nn.Conv(16, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype, name="stem")(x)))

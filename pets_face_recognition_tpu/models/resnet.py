@@ -147,12 +147,17 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         use_ra = (not train) or self.frozen_stats
+        # When running from frozen/running stats, BN is an affine scale+shift:
+        # run it in the compute dtype so conv→BN→relu chains stay bfloat16 end
+        # to end (an f32 BN output doubles activation HBM traffic — measured
+        # ~40% of backbone time at B=128). Batch-stat computation (train mode
+        # with live stats) stays float32 for stable mean/var.
         norm = partial(
             nn.BatchNorm,
             use_running_average=use_ra,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=self.dtype if use_ra else jnp.float32,
         )
         if self.fused_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             # Space-to-depth stem: the 7×7/s2 conv on 3 channels runs the MXU at
