@@ -43,69 +43,75 @@ BAND = 160
 
 
 def _warp_kernel(h0_ref, coeff_ref, img_ref, out_ref, *, out_w, src_h,
-                 src_w, band, n_blocks, mm_dtype, rpb, n_ch):
-    bi = pl.program_id(0)
+                 src_w, band, n_blocks, mm_dtype, rpb, n_ch, ipp):
+    big = pl.program_id(0)   # image-group index (ipp images per program)
     blk = pl.program_id(1)
 
-    # coefficients ride scalar prefetch (SMEM), flattened (B*8,)
-    p = coeff_ref[bi * 8 + 0]
-    q = coeff_ref[bi * 8 + 1]
-    r = coeff_ref[bi * 8 + 2]
-    s = coeff_ref[bi * 8 + 3]
-    t = coeff_ref[bi * 8 + 4]
-    u = coeff_ref[bi * 8 + 5]
-    h0 = h0_ref[bi * n_blocks + blk]
-
-    # output pixels ride LANES, interpolation grids ride SUBLANES.
-    # hardware iota is int-only; cast once.
     R = rpb * out_w
     rj = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
     jf = (rj % out_w).astype(jnp.float32)
     i = (rj // out_w + blk * rpb).astype(jnp.float32)
-    sx = t * jf + (s * i + u)                                  # (1, R)
-    sy = q * jf + (p * i + r)
-    rel = sy - h0.astype(jnp.float32)
-
     xi = jax.lax.broadcasted_iota(jnp.int32, (src_w, R), 0).astype(jnp.float32)
-    wxT = jnp.maximum(0.0, 1.0 - jnp.abs(xi - sx))
     yb = jax.lax.broadcasted_iota(jnp.int32, (band, R), 0).astype(jnp.float32)
-    mT = jnp.maximum(0.0, 1.0 - jnp.abs(yb - rel))
-
     int8_mode = mm_dtype == jnp.int8
-    if int8_mode:
-        # int8 MXU runs 2x bf16 on v5e. Tent weights quantize to 1/127 steps,
-        # pixels to 1/254 (see caller); the zero-point correction rides one
-        # extra 8-row matmul (colsum of the quantized weights).
-        wxT = jnp.round(wxT * 127.0).astype(jnp.int8)
-        ones8 = jnp.full((8, src_w), 1, jnp.int8)
-        colsum = jnp.dot(ones8, wxT, preferred_element_type=jnp.int32)[0:1]
-        colsum_f = colsum.astype(jnp.float32)                  # (1, R)
-    else:
-        wxT = wxT.astype(mm_dtype)
 
-    # only real channels: the pad plane (C<4) is all zeros — skipping it cuts
-    # 25% of the MXU work at C=3; its output rows are dropped by the caller
-    for c in range(n_ch):
-        # h0 is 8-aligned (sublane granularity)
-        start = pl.multiple_of(c * src_h + h0, 8)
-        slab = img_ref[0, pl.ds(start, band), :]               # (band, W)
+    # ipp > 1 amortizes the fixed per-program cost (setup + output DMA seams)
+    # over several images; the loop is unrolled so all SMEM scalar reads use
+    # static offsets from the group base.
+    for gi in range(ipp):
+        bi = big * ipp + gi
+        # coefficients ride scalar prefetch (SMEM), flattened (B*8,)
+        p = coeff_ref[bi * 8 + 0]
+        q = coeff_ref[bi * 8 + 1]
+        r = coeff_ref[bi * 8 + 2]
+        s = coeff_ref[bi * 8 + 3]
+        t = coeff_ref[bi * 8 + 4]
+        u = coeff_ref[bi * 8 + 5]
+        h0 = h0_ref[bi * n_blocks + blk]
+
+        # output pixels ride LANES, interpolation grids ride SUBLANES
+        sx = t * jf + (s * i + u)                              # (1, R)
+        sy = q * jf + (p * i + r)
+        rel = sy - h0.astype(jnp.float32)
+        wxT = jnp.maximum(0.0, 1.0 - jnp.abs(xi - sx))
+        mT = jnp.maximum(0.0, 1.0 - jnp.abs(yb - rel))
+
         if int8_mode:
-            acc = jnp.dot(slab, wxT,
-                          preferred_element_type=jnp.int32)    # (band, R)
-            # pixel q = round(254*img) - 127  =>  img = (q + 127) / 254
-            aT = (acc.astype(jnp.float32) + 127.0 * colsum_f) * (
-                1.0 / (254.0 * 127.0))
+            # int8 MXU runs 2x bf16 on v5e. Tent weights quantize to 1/127
+            # steps, pixels to 1/254 (see caller); the zero-point correction
+            # rides one extra 8-row matmul (colsum of the quantized weights).
+            wxT = jnp.round(wxT * 127.0).astype(jnp.int8)
+            ones8 = jnp.full((8, src_w), 1, jnp.int8)
+            colsum = jnp.dot(ones8, wxT, preferred_element_type=jnp.int32)[0:1]
+            colsum_f = colsum.astype(jnp.float32)              # (1, R)
         else:
-            aT = jnp.dot(slab.astype(mm_dtype), wxT,
-                         preferred_element_type=jnp.float32)   # (band, R)
-        # sublane reduction to one output row; keep 2-D (1, R) for Mosaic
-        row = jnp.sum(aT * mT, axis=0, keepdims=True)
-        out_ref[0, 0, pl.ds(c, 1), :] = row
+            wxT = wxT.astype(mm_dtype)
+
+        # only real channels: the pad plane (C<4) is all zeros — skipping it
+        # cuts 25% of the MXU work at C=3; its output rows are dropped by the
+        # caller
+        for c in range(n_ch):
+            # h0 is 8-aligned (sublane granularity)
+            start = pl.multiple_of(c * src_h + h0, 8)
+            slab = img_ref[gi, pl.ds(start, band), :]          # (band, W)
+            if int8_mode:
+                acc = jnp.dot(slab, wxT,
+                              preferred_element_type=jnp.int32)  # (band, R)
+                # pixel q = round(254*img) - 127 => img = (q + 127) / 254
+                aT = (acc.astype(jnp.float32) + 127.0 * colsum_f) * (
+                    1.0 / (254.0 * 127.0))
+            else:
+                aT = jnp.dot(slab.astype(mm_dtype), wxT,
+                             preferred_element_type=jnp.float32)  # (band, R)
+            # sublane reduction to one output row; keep 2-D (1, R) for Mosaic
+            row = jnp.sum(aT * mT, axis=0, keepdims=True)
+            out_ref[gi, 0, pl.ds(c, 1), :] = row
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_size", "interpret", "compute_dtype", "band"),
+    static_argnames=("out_size", "interpret", "compute_dtype", "band",
+                     "imgs_per_program"),
 )
 def warp_affine_batch_pallas(
     images: jnp.ndarray,
@@ -114,6 +120,7 @@ def warp_affine_batch_pallas(
     interpret: bool = False,
     compute_dtype=jnp.float32,
     band: int = BAND,
+    imgs_per_program: int = 2,
 ) -> jnp.ndarray:
     """Batched affine inverse warp: ``(B, H, W, C<=4) × (B, 3, 3) → (B, oh, ow, C)``.
 
@@ -133,6 +140,9 @@ def warp_affine_batch_pallas(
     # rotation limit per the module docstring)
     assert band % 8 == 0, "band must be a multiple of 8"
     band = min(band, src_h)
+    ipp = imgs_per_program
+    while B % ipp:
+        ipp -= 1
 
     Minv = jnp.linalg.inv(H.astype(jnp.float32))
     # out[i, j] samples src at sy = p i + q j + r ; sx = s i + t j + u
@@ -175,17 +185,18 @@ def warp_affine_batch_pallas(
 
     kernel = functools.partial(
         _warp_kernel, out_w=ow, src_h=src_h, src_w=src_w, band=band,
-        n_blocks=n_blocks, mm_dtype=compute_dtype, rpb=rpb, n_ch=C,
+        n_blocks=n_blocks, mm_dtype=compute_dtype, rpb=rpb, n_ch=C, ipp=ipp,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, n_blocks),
+        grid=(B // ipp, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, C * src_h, src_w), lambda bi, ci, *_: (bi, 0, 0),
+            pl.BlockSpec((ipp, C * src_h, src_w),
+                         lambda bi, ci, *_: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 4, rpb * ow),
+            (ipp, 1, 4, rpb * ow),
             lambda bi, ci, *_: (bi, ci, 0, 0),
             memory_space=pltpu.VMEM,
         ),
