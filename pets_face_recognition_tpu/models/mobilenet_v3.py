@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -101,6 +102,42 @@ _MBV3_LARGE: Sequence[tuple] = (
 _TAPS = {2: "c2", 5: "c3", 11: "c4", 14: "c5"}
 
 
+class _StemKernel(nn.Module):
+    """Holds the stem kernel under the same tree as ``nn.Conv`` (stem/kernel)."""
+
+    in_ch: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.in_ch, 16), jnp.float32,
+        )
+
+
+def _fused_stem_conv(x, kernel, dtype):
+    """3×3/s2 stem as an exact space-to-depth 2×2/s1 conv.
+
+    Same trick as ``resnet._fused_stem_conv``: a 3-channel stride-2 conv runs
+    the MXU at ~5 TF/s (contraction dim 27); folding 2×2 pixel blocks into
+    channels makes it a 2×2/s1 conv with contraction dim 48 over half the
+    spatial grid. Kernel padded 3→4 with a leading zero row/col (shifting the
+    effective padding 1→2, compensated by block padding (1, 0)).
+    """
+    B, H, W, C = x.shape
+    y = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(B, H // 2, W // 2, 4 * C)
+    k4 = jnp.pad(kernel.astype(dtype), ((1, 0), (1, 0), (0, 0), (0, 0)))
+    k = k4.reshape(2, 2, 2, 2, C, 16)
+    k = jnp.transpose(k, (0, 2, 1, 3, 4, 5)).reshape(2, 2, 4 * C, 16)
+    return jax.lax.conv_general_dilated(
+        y.astype(dtype), k,
+        window_strides=(1, 1),
+        padding=((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 class MobileNetV3Large(nn.Module):
     num_classes: int = 0
     features_only: bool = False
@@ -111,9 +148,13 @@ class MobileNetV3Large(nn.Module):
         norm = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.99, epsilon=1e-3,
             dtype=jnp.float32 if train else self.dtype, name=name)
-        x = _hard_swish(norm("bn_stem")(
-            nn.Conv(16, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
-                    use_bias=False, dtype=self.dtype, name="stem")(x)))
+        if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            kernel = _StemKernel(in_ch=x.shape[-1], name="stem")()
+            x = _fused_stem_conv(x, kernel, self.dtype)
+        else:
+            x = nn.Conv(16, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                        use_bias=False, dtype=self.dtype, name="stem")(x)
+        x = _hard_swish(norm("bn_stem")(x))
         feats = {}
         for i, (exp, out, k, s, se, hs) in enumerate(_MBV3_LARGE):
             x = InvertedResidual(exp, out, k, s, se, hs, dtype=self.dtype,
