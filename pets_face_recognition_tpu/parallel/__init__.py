@@ -15,6 +15,21 @@ from .mesh import (
 )
 from .distributed import device_info, init_distributed
 
+
+def shard_map_compat(f, *, mesh, in_specs, out_specs):
+    """``jax.shard_map`` with fallback to the pre-0.8 experimental location."""
+    try:
+        import jax
+
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs)
+    except AttributeError:
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs)
+
+
 __all__ = [
     "MeshSpec",
     "batch_sharding",
@@ -24,4 +39,5 @@ __all__ = [
     "local_mesh",
     "init_distributed",
     "device_info",
+    "shard_map_compat",
 ]

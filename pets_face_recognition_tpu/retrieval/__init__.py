@@ -121,7 +121,7 @@ def sharded_topk_scores(
 
     Returns ``(scores (Q, k), indices (Q, k))`` into the full gallery.
     """
-    from jax.experimental.shard_map import shard_map
+    from ..parallel import shard_map_compat
 
     n_shards = mesh.shape[axis]
     G = gallery.shape[0]
@@ -145,7 +145,7 @@ def sharded_topk_scores(
         top_s, top_i = jax.lax.top_k(s, kk)
         return top_s[None], (top_i + offset)[None]  # leading shard axis
 
-    fn = shard_map(
+    fn = shard_map_compat(
         local_topk,
         mesh=mesh,
         in_specs=(P(), P(axis, None)),

@@ -87,7 +87,12 @@ class EmbeddingService:
         min_distance: float = 5.0,
         prefetch: int = 2,
         decode_threads: int = 0,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``"data"`` axis —
+        the batch is sharded across it (SPMD serving over ICI; every stage is
+        per-example, so no collectives are needed and the Pallas kernels run
+        on their local shard). ``batch_size`` must divide by the axis size."""
         self.detector_fn = detector_fn
         self.embedder_fn = embedder_fn
         self.batch_size = batch_size
@@ -98,7 +103,24 @@ class EmbeddingService:
         self.min_distance = min_distance
         self.prefetch = prefetch
         self.decode_threads = decode_threads
-        self._embed = jax.jit(self._embed_impl)
+        self.mesh = mesh
+        if mesh is None:
+            self._embed = jax.jit(self._embed_impl)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            from .parallel import shard_map_compat
+
+            n = mesh.shape["data"]
+            if batch_size % n:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by data axis {n}"
+                )
+            self._embed = jax.jit(shard_map_compat(
+                self._embed_impl, mesh=mesh,
+                in_specs=(P("data"), P("data")),
+                out_specs=(P("data"), P("data")),
+            ))
 
     # -- device graph -------------------------------------------------------
     def _embed_impl(self, images_u8, decode_ok):

@@ -86,3 +86,39 @@ def test_low_score_detections_flagged(jpeg_dir):
     )
     _, valid = service.embed_paths(jpeg_dir)
     assert not valid.any()
+
+
+def test_sharded_serving_matches_single_device(jpeg_dir):
+    """mesh= shards the batch over the 8 virtual devices (SPMD serving);
+    results must match the unsharded service exactly."""
+    import jax
+    from pets_face_recognition_tpu.parallel import create_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = create_mesh((len(jax.devices()),), ("data",))
+
+    plain = EmbeddingService(
+        _fake_detector, _fake_embedder, batch_size=8, input_size=(160, 160),
+        score_thr=0.5, min_distance=1.0,
+    )
+    sharded = EmbeddingService(
+        _fake_detector, _fake_embedder, batch_size=8, input_size=(160, 160),
+        score_thr=0.5, min_distance=1.0, mesh=mesh,
+    )
+    e1, v1 = plain.embed_paths(jpeg_dir)
+    e2, v2 = sharded.embed_paths(jpeg_dir)
+    np.testing.assert_allclose(e1, e2, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(v1, v2)
+
+
+def test_sharded_serving_rejects_indivisible_batch():
+    import jax
+    from pets_face_recognition_tpu.parallel import create_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = create_mesh((len(jax.devices()),), ("data",))
+    with pytest.raises(ValueError):
+        EmbeddingService(_fake_detector, _fake_embedder, batch_size=9,
+                         mesh=mesh)
