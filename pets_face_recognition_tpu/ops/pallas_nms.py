@@ -142,6 +142,13 @@ def _nms_batch_kernel(boxes_ref, valid_ref, keep_ref, *, iou_threshold: float):
     keep_ref[...] = alive
 
 
+# groups per program: bounds the VMEM working set (the fori_loop keeps ~10
+# (Gc, K) f32 live values; Gc=256/K=128 ≈ 6 MB, well under the 16 MB scoped
+# limit that a single program hits at G≈700). Per-step VPU work scales with
+# the group count either way, so chunking costs only program overhead.
+NMS_GROUP_BLOCK = 256
+
+
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
 def nms_keep_sorted_batch(
     boxes: jnp.ndarray,
@@ -151,21 +158,33 @@ def nms_keep_sorted_batch(
 ) -> jnp.ndarray:
     """Batched NMS over ``boxes (G, K, 4)`` / ``valid (G, K)`` → ``(G, K)`` keep.
 
-    One pallas program; groups ride the sublane dimension.
+    Groups ride the sublane dimension; group chunks of ``NMS_GROUP_BLOCK``
+    ride the pallas grid.
     """
     g, k, _ = boxes.shape
+    gc = min(g, NMS_GROUP_BLOCK)
+    pad = (-g) % gc
     boxes_t = jnp.transpose(boxes.astype(jnp.float32), (0, 2, 1))  # (G, 4, K)
+    valid_f = valid.astype(jnp.float32)
+    if pad:
+        boxes_t = jnp.pad(boxes_t, ((0, pad), (0, 0), (0, 0)))
+        valid_f = jnp.pad(valid_f, ((0, pad), (0, 0)))
     kernel = functools.partial(_nms_batch_kernel, iou_threshold=iou_threshold)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((g, k), jnp.float32),
+        grid=((g + pad) // gc,),
+        out_shape=jax.ShapeDtypeStruct((g + pad, k), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((gc, 4, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gc, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((gc, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(boxes_t, valid.astype(jnp.float32))
+    )(boxes_t, valid_f)
+    return out[:g]
 
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))

@@ -426,7 +426,8 @@ def _roi_backward(g, rois, feat_shapes, output_size, strides, sampling_ratio,
 @functools.lru_cache(maxsize=None)
 def _make_diff_roi_align(feat_shapes, output_size, strides, sampling_ratio,
                          canonical_scale, canonical_level, min_level,
-                         max_level, interpret, compute_dtype_name):
+                         max_level, interpret, compute_dtype_name,
+                         feat_dtype_names=None):
     compute_dtype = jnp.dtype(compute_dtype_name)
 
     @jax.custom_vjp
@@ -452,6 +453,12 @@ def _make_diff_roi_align(feat_shapes, output_size, strides, sampling_ratio,
 
         from jax import dtypes as _dtypes
 
+        if feat_dtype_names is not None:
+            # cotangent dtype must match each primal feature's dtype (the
+            # backward kernel always produces float32 blocks)
+            dfeat = tuple(
+                d.astype(jnp.dtype(n)) for d, n in zip(dfeat, feat_dtype_names)
+            )
         zero_rois = jnp.zeros_like(rois)
         zero_idx = _np.zeros(roi_batch_idx.shape, _dtypes.float0)
         return dfeat, zero_rois, zero_idx
@@ -487,5 +494,6 @@ def multilevel_roi_align_pallas_diff(
         feat_shapes, tuple(output_size), tuple(strides), sampling_ratio,
         canonical_scale, canonical_level, min_level, max_level, interpret,
         jnp.dtype(compute_dtype).name,
+        tuple(jnp.dtype(f.dtype).name for f in features),
     )
     return fn(tuple(features), rois, roi_batch_idx)
