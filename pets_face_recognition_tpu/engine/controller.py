@@ -45,6 +45,11 @@ class Controller:
         labels = jnp.asarray(sample_batch["label"][:1])
         variables = self.model_loss.init(rng, x, labels, train=False)
         tx = self.config.optimizer(self.config)
+        from ..utils.optim import wrap_gradient_transform
+
+        tx = wrap_gradient_transform(
+            tx, getattr(self, "gradient_clip_val", None),
+            getattr(self, "accumulate_grad_batches", 1))
         state = TrainState.create(self.model_loss.apply, variables, tx)
         if self.mesh is not None:
             state = jax.device_put(state, NamedSharding(self.mesh, P()))

@@ -61,6 +61,11 @@ class DetectionController:
             images, targets, train=True,
         )
         tx = self.config.optimizer(self.config)
+        from ..utils.optim import wrap_gradient_transform
+
+        tx = wrap_gradient_transform(
+            tx, getattr(self, "gradient_clip_val", None),
+            getattr(self, "accumulate_grad_batches", 1))
         state = TrainState.create(self.model_loss.apply, variables, tx)
         if self.mesh is not None:
             state = jax.device_put(state, NamedSharding(self.mesh, P()))

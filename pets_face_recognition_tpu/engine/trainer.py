@@ -50,6 +50,9 @@ class Trainer:
         limit_val_batches: int | None = None,
         log_every_n_steps: int = 50,
         fast_dev_run: bool = False,
+        overfit_batches: int = 0,
+        gradient_clip_val: float | None = None,
+        accumulate_grad_batches: int = 1,
         resume_from_checkpoint: str | Path | None = None,
         profiler: str | Path | None = None,
         terminate_on_nan: bool = True,
@@ -65,6 +68,16 @@ class Trainer:
         self.limit_val_batches = limit_val_batches
         self.log_every_n_steps = log_every_n_steps
         self.fast_dev_run = fast_dev_run
+        # PL-parity smoke/regularization knobs (reference re-declares the
+        # stock Trainer args, engine/trainer.py:64-120): overfit_batches
+        # repeats the first N train batches every epoch (validation is skipped
+        # — the reference validates on those same train batches; our val
+        # metric suite needs the val-batch schema, so we skip with a note);
+        # gradient_clip_val / accumulate_grad_batches wrap the config's
+        # optimizer (utils/optim.wrap_gradient_transform).
+        self.overfit_batches = int(overfit_batches)
+        self.gradient_clip_val = gradient_clip_val
+        self.accumulate_grad_batches = int(accumulate_grad_batches)
         self.resume_from_checkpoint = resume_from_checkpoint
         # Profiling: a directory path enables jax.profiler traces of epoch 0 and
         # per-phase host timing (data vs step). The reference only plumbs PL's
@@ -111,9 +124,20 @@ class Trainer:
     def _fit_inner(self, controller, state):
         config = self.config or controller.config
         controller.mesh = self.mesh
+        controller.gradient_clip_val = self.gradient_clip_val
+        controller.accumulate_grad_batches = self.accumulate_grad_batches
         rng = jax.random.PRNGKey(int(config.get("seed", 0)))
 
         train_loader = controller.train_dataloader()
+        if self.overfit_batches:
+            fixed = []
+            for i, b in enumerate(train_loader):
+                if i >= self.overfit_batches:
+                    break
+                fixed.append(b)
+            train_loader = fixed
+            print(f"[trainer] overfit_batches={self.overfit_batches}: "
+                  "repeating the same batches every epoch; validation skipped")
         first_batch = next(iter(train_loader))
 
         if state is None:
@@ -140,7 +164,8 @@ class Trainer:
 
         train_step = controller.make_train_step()
         n_batches = _count_batches(train_loader, self.limit_train_batches)
-        val_every = self._val_interval_steps(n_batches)
+        val_every = (0 if self.overfit_batches
+                     else self._val_interval_steps(n_batches))
 
         for epoch in range(start_epoch, self.max_epochs):
             self.current_epoch = epoch
@@ -201,7 +226,8 @@ class Trainer:
                      "step_time_s": step_time},
                     int(state.step),
                 )
-            self.validate(controller, state, epoch)
+            if not self.overfit_batches:
+                self.validate(controller, state, epoch)
             if self.enable_checkpointing:
                 path = save_checkpoint(ckpt_dir, state, epoch)
                 print(f"[trainer] checkpoint: {path}")

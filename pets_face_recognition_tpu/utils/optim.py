@@ -86,3 +86,22 @@ def detection_sgd_optimizer(
         optax.add_decayed_weights(weight_decay),
         optax.sgd(sched, momentum=momentum),
     )
+
+
+def wrap_gradient_transform(
+    tx: optax.GradientTransformation,
+    gradient_clip_val: float | None = None,
+    accumulate_grad_batches: int = 1,
+) -> optax.GradientTransformation:
+    """PL-parity training knobs applied around a config's optimizer
+    (reference ``Trainer(gradient_clip_val=..., accumulate_grad_batches=...)``,
+    stock args re-declared by the fork at ``engine/trainer.py:64-120``):
+    global-norm clipping before the update, gradient accumulation via
+    ``optax.MultiSteps`` (the inner update applies every k-th step)."""
+    if gradient_clip_val:
+        tx = optax.chain(
+            optax.clip_by_global_norm(float(gradient_clip_val)), tx
+        )
+    if accumulate_grad_batches and int(accumulate_grad_batches) > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(accumulate_grad_batches))
+    return tx

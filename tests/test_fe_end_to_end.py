@@ -165,3 +165,37 @@ def test_fast_dev_run(fe_config):
                       default_root_dir=fe_config.output)
     state = trainer.fit(controller)
     assert int(state.step) == 1
+
+
+def test_overfit_clip_accumulate_knobs(fe_config):
+    """PL-parity Trainer knobs: overfit_batches repeats fixed batches (no
+    validation), gradient_clip_val + accumulate_grad_batches wrap the
+    optimizer (MultiSteps applies the inner update every k-th call)."""
+    import jax
+
+    mesh = create_mesh()
+    controller = Controller(fe_config, mesh=mesh)
+    trainer = Trainer(config=fe_config, mesh=mesh, max_epochs=1,
+                      enable_checkpointing=False,
+                      overfit_batches=2, gradient_clip_val=1.0,
+                      accumulate_grad_batches=2,
+                      default_root_dir=fe_config.output)
+    state = trainer.fit(controller)
+    assert int(state.step) == 2  # 2 fixed batches, 1 epoch
+
+    # with k=2 accumulation, params change only after the 2nd micro-batch
+    controller2 = Controller(fe_config, mesh=mesh)
+    controller2.accumulate_grad_batches = 2
+    controller2.gradient_clip_val = 1.0
+    batch = next(iter(controller2.train_dataloader()))
+    from pets_face_recognition_tpu.parallel import shard_batch
+    db = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
+    st = controller2.init_state(jax.random.PRNGKey(0), batch)
+    p0 = jax.tree_util.tree_leaves(st.params)[0].copy()
+    step = controller2.make_train_step()
+    st, _ = step(st, db, jax.random.PRNGKey(1))
+    p1 = jax.tree_util.tree_leaves(st.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    st, _ = step(st, db, jax.random.PRNGKey(2))
+    p2 = jax.tree_util.tree_leaves(st.params)[0]
+    assert np.abs(np.asarray(p2) - np.asarray(p0)).max() > 0
