@@ -28,23 +28,18 @@ import time
 import numpy as np
 
 
-def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
-                   detector_kind: str = "mobile", rpn_pre: int = 128,
-                   rpn_post: int = 16, band: int = 96,
-                   warp_dtype: str = "bfloat16"):
-    import jax
+def build_serving_models(bf16: bool = True, detector_kind: str = "mobile",
+                         rpn_pre: int = 128, rpn_post: int = 16):
+    """Serving detector + embedder + canonical landmarks (shared by bench.py
+    and tools/profile_pipeline.py so the profiled model can't drift from the
+    benchmarked one). Returns ``(detector, embedder, base_pts, dtype)``."""
     import jax.numpy as jnp
-
-    from pets_face_recognition_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache()
 
     from pets_face_recognition_tpu.models import resnet50_embedder
     from pets_face_recognition_tpu.models.fpn import BackboneWithFPN
     from pets_face_recognition_tpu.models.rcnn import GeneralizedRCNN, RCNNConfig
     from pets_face_recognition_tpu.models.mobilenet_v3 import mobilenet_v3_large
     from pets_face_recognition_tpu.models.resnet import resnet50
-    from pets_face_recognition_tpu.ops.homography import align_crop
 
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     # serving budgets: one pet head per image — 128/16 proposals lose nothing
@@ -77,6 +72,23 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
     detector = GeneralizedRCNN(backbone=det_backbone, cfg=det_cfg, dtype=dtype)
     embedder = resnet50_embedder(embedding_dim=512, dtype=dtype)
     base_pts = jnp.asarray([[70.0, 92.0], [154.0, 92.0], [112.0, 160.0]])
+    return detector, embedder, base_pts, dtype
+
+
+def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
+                   detector_kind: str = "mobile", rpn_pre: int = 128,
+                   rpn_post: int = 16, band: int = 96,
+                   warp_dtype: str = "bfloat16"):
+    import jax
+    import jax.numpy as jnp
+
+    from pets_face_recognition_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    detector, embedder, base_pts, dtype = build_serving_models(
+        bf16=bf16, detector_kind=detector_kind, rpn_pre=rpn_pre,
+        rpn_post=rpn_post)
 
     rng = jax.random.PRNGKey(0)
     images = jnp.asarray(

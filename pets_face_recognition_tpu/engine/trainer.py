@@ -75,7 +75,9 @@ class Trainer:
         # metric suite needs the val-batch schema, so we skip with a note);
         # gradient_clip_val / accumulate_grad_batches wrap the config's
         # optimizer (utils/optim.wrap_gradient_transform).
-        self.overfit_batches = int(overfit_batches)
+        # PL semantics: an int is a batch count, a float in (0, 1) a fraction
+        # of the train loader (resolved in _fit_inner once the loader exists)
+        self.overfit_batches = overfit_batches
         self.gradient_clip_val = gradient_clip_val
         self.accumulate_grad_batches = int(accumulate_grad_batches)
         self.resume_from_checkpoint = resume_from_checkpoint
@@ -130,14 +132,19 @@ class Trainer:
 
         train_loader = controller.train_dataloader()
         if self.overfit_batches:
+            n = self.overfit_batches
+            if isinstance(n, float) and 0 < n < 1:
+                # PL float semantics: fraction of the train loader
+                n = max(1, int(len(train_loader) * n))
+            n = int(n)
             fixed = []
             for i, b in enumerate(train_loader):
-                if i >= self.overfit_batches:
+                if i >= n:
                     break
                 fixed.append(b)
             train_loader = fixed
-            print(f"[trainer] overfit_batches={self.overfit_batches}: "
-                  "repeating the same batches every epoch; validation skipped")
+            print(f"[trainer] overfit_batches={self.overfit_batches} -> {n} "
+                  "fixed batches every epoch; validation skipped")
         first_batch = next(iter(train_loader))
 
         if state is None:
@@ -322,7 +329,9 @@ def configure_trainer(config, logger=None, **overrides) -> Trainer:
     extra = dict(config.get("trainer_kwargs", {}) or {})
     known = {"limit_train_batches", "limit_val_batches", "log_every_n_steps",
              "fast_dev_run", "resume_from_checkpoint", "profiler",
-             "val_check_interval", "enable_checkpointing", "max_epochs"}
+             "val_check_interval", "enable_checkpointing", "max_epochs",
+             "overfit_batches", "gradient_clip_val",
+             "accumulate_grad_batches", "terminate_on_nan"}
     kwargs.update({k: v for k, v in extra.items() if k in known})
     kwargs.update(overrides)
     return Trainer(**kwargs)

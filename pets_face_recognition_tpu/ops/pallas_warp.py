@@ -21,13 +21,16 @@ BORDER_CONSTANT zero — identical to ``warp_perspective`` for affine H (which t
 centroid-augmented alignment homography always is; see ``homography.align_crop``).
 
 Limit: the y-band per ``rpb``-row block is static (``BAND`` rows). Rotations
-with ``|q|·out_w + rpb·|p| + 9 > BAND`` clamp at the band edge; at the default
-``BAND=160`` that admits rotations past ±25° at alignment scales — far beyond
-anything the landmark validity checks let through. Serving uses ``band=128``.
+with ``|q|·out_w + rpb·|p| + 9 > BAND`` clamp (gracefully — only the crop's
+far rows degrade) at the band edge. Envelope at the 320→224 alignment scale:
+band=160 (default, quality paths) ≈ ±25°, band=128 ≈ ±17°, band=96 ≈ ±13°.
+Serving (bench.py) uses band=96 — beyond anything the landmark validity
+checks let through on aligned head crops.
 
-Measured (v5e, B=64, 320²→224², bf16): 8.5 ms at band=128 (7.1 at band=96) vs
-13.4 ms for the previous lane-folded kernel and ~128 ms for the XLA gather
-lowering.
+Measured (v5e, B=128, 320²→224², bf16, band=96): ~9.8 ms — vs ~128 ms for
+the XLA gather lowering. MXU work scales with band; the residual is VPU tent
+construction + per-program overhead (see PERF.md for the failed attempts to
+shrink those).
 """
 
 from __future__ import annotations

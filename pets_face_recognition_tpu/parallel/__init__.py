@@ -18,16 +18,14 @@ from .distributed import device_info, init_distributed
 
 def shard_map_compat(f, *, mesh, in_specs, out_specs):
     """``jax.shard_map`` with fallback to the pre-0.8 experimental location."""
-    try:
-        import jax
+    import jax
 
+    if hasattr(jax, "shard_map"):
         return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
                              out_specs=out_specs)
-    except AttributeError:
-        from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map
 
-        return shard_map(f, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_specs)
+    return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 
 __all__ = [

@@ -45,34 +45,17 @@ def main():
 
     enable_compilation_cache()
 
-    from pets_face_recognition_tpu.models import resnet50_embedder
+    from bench import build_serving_models
     from pets_face_recognition_tpu.models import roi_heads as rh
-    from pets_face_recognition_tpu.models.fpn import BackboneWithFPN
-    from pets_face_recognition_tpu.models.mobilenet_v3 import mobilenet_v3_large
-    from pets_face_recognition_tpu.models.rcnn import GeneralizedRCNN, RCNNConfig
-    from pets_face_recognition_tpu.models.resnet import resnet50
     from pets_face_recognition_tpu.models.rpn import generate_proposals
     from pets_face_recognition_tpu.ops.homography import solve_homography
     from pets_face_recognition_tpu.ops.pallas_warp import warp_affine_batch_pallas
 
     B, S = args.batch_size, args.image_size
-    dtype = jnp.bfloat16
-    budgets = dict(num_classes=2, num_keypoints=3, box_detections_per_img=1,
-                   rpn_pre_nms_top_n_test=args.rpn_pre,
-                   rpn_post_nms_top_n_test=args.rpn_post)
-    if args.detector == "mobile":
-        cfg = RCNNConfig(anchor_sizes=((32, 64, 128, 256, 512),) * 3,
-                         aspect_ratios=(0.5, 1.0, 2.0), **budgets)
-        backbone = BackboneWithFPN(
-            backbone=mobilenet_v3_large(features_only=True, dtype=dtype),
-            in_levels=("c4", "c5"), dtype=dtype)
-    else:
-        cfg = RCNNConfig(**budgets)
-        backbone = BackboneWithFPN(
-            backbone=resnet50(features_only=True, frozen_stats=True,
-                              dtype=dtype), dtype=dtype)
-    detector = GeneralizedRCNN(backbone=backbone, cfg=cfg, dtype=dtype)
-    embedder = resnet50_embedder(embedding_dim=512, dtype=dtype)
+    # exactly the benchmarked models — single construction site in bench.py
+    detector, embedder, base_pts_b, _ = build_serving_models(
+        detector_kind=args.detector, rpn_pre=args.rpn_pre,
+        rpn_post=args.rpn_post)
 
     rng = jax.random.PRNGKey(0)
     images = jnp.asarray(np.random.RandomState(0).rand(B, S, S, 3), jnp.float32)
@@ -128,7 +111,7 @@ def main():
             return kps.reshape(B, D, c.num_keypoints, 3)[:, 0, :, :2].sum()
         return m
 
-    base_pts = jnp.asarray([[70.0, 92.0], [154.0, 92.0], [112.0, 160.0]])
+    base_pts = base_pts_b
     kps = jnp.tile(base_pts[None], (B, 1, 1)) + 10.0
 
     def align_only(imgs, kp):
