@@ -15,8 +15,8 @@ Detector choices (``--detector``), both reference model families:
 Weights are randomly initialized (throughput is weight-independent); compute is
 bfloat16 on the MXU with float32 params. Prints exactly one JSON line.
 
-Measured on this image's v5e (batch 128 @320px, 30 steady-state iters):
-mobile ≈ 4000 crops/s, resnet50 ≈ 1650 crops/s. See PERF.md for the stage
+Measured on this image's v5e (batch 128 @320px, 100 steady-state iters):
+mobile ≈ 4100 crops/s, resnet50 ≈ 1650 crops/s. See PERF.md for the stage
 breakdown and kernel notes.
 """
 
@@ -139,7 +139,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--image-size", type=int, default=320)
-    parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--iters", type=int, default=100)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--no-bf16", action="store_true")
     parser.add_argument("--band", type=int, default=96,
