@@ -125,8 +125,11 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
         # quantization (vs bf16's 0.4%) — both below JPEG noise; requires
         # [0, 1] pixel inputs
         wdt = jnp.int8 if warp_dtype == "int8" else jnp.bfloat16
+        # bf16 crop output: halves the crop buffer write + the embedder's
+        # first read (the embedder computes in bf16 anyway)
         crops = warp_affine_batch_pallas(imgs, Hs, (224, 224),
-                                         compute_dtype=wdt, band=band)
+                                         compute_dtype=wdt, band=band,
+                                         out_dtype=jnp.bfloat16)
         return embedder.apply(emb_vars, crops, train=False)
 
     def pipeline(imgs):

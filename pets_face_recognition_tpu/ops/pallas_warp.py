@@ -46,7 +46,7 @@ BAND = 160
 
 
 def _warp_kernel(h0_ref, coeff_ref, img_ref, out_ref, *, out_w, src_h,
-                 src_w, band, n_blocks, mm_dtype, rpb, n_ch, ipp):
+                 src_w, band, n_blocks, mm_dtype, rpb, n_ch, ipp, out_dtype):
     big = pl.program_id(0)   # image-group index (ipp images per program)
     blk = pl.program_id(1)
 
@@ -108,13 +108,13 @@ def _warp_kernel(h0_ref, coeff_ref, img_ref, out_ref, *, out_w, src_h,
                              preferred_element_type=jnp.float32)  # (band, R)
             # sublane reduction to one output row; keep 2-D (1, R) for Mosaic
             row = jnp.sum(aT * mT, axis=0, keepdims=True)
-            out_ref[gi, 0, pl.ds(c, 1), :] = row
+            out_ref[gi, 0, pl.ds(c, 1), :] = row.astype(out_dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("out_size", "interpret", "compute_dtype", "band",
-                     "imgs_per_program"),
+                     "imgs_per_program", "out_dtype"),
 )
 def warp_affine_batch_pallas(
     images: jnp.ndarray,
@@ -124,6 +124,7 @@ def warp_affine_batch_pallas(
     compute_dtype=jnp.float32,
     band: int = BAND,
     imgs_per_program: int = 2,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Batched affine inverse warp: ``(B, H, W, C<=4) × (B, 3, 3) → (B, oh, ow, C)``.
 
@@ -186,9 +187,12 @@ def warp_affine_batch_pallas(
         imgs_p = jnp.transpose(images.astype(compute_dtype), (0, 3, 1, 2))
     imgs_p = imgs_p.reshape(B, C * src_h, src_w)
 
+    # out_dtype=bfloat16 halves the crop buffer's HBM write + the consumer's
+    # first read (the serving embedder computes in bf16 anyway)
     kernel = functools.partial(
         _warp_kernel, out_w=ow, src_h=src_h, src_w=src_w, band=band,
         n_blocks=n_blocks, mm_dtype=compute_dtype, rpb=rpb, n_ch=C, ipp=ipp,
+        out_dtype=out_dtype,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -208,7 +212,7 @@ def warp_affine_batch_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (B, n_blocks, 4, rpb * ow), jnp.float32
+            (B, n_blocks, 4, rpb * ow), out_dtype
         ),
         interpret=interpret,
     )(h0, coeffs.reshape(-1), imgs_p)
