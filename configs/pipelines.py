@@ -35,6 +35,14 @@ def _resolve(env: str, default: str) -> Path:
 
 def _jitted_forward(model, ckpt_path: Path):
     params, batch_stats = load_params(ckpt_path)
+    # training wraps the detector in the config's loss module
+    # (``SumDetectionLoss(model=...)``), so checkpoint params live under
+    # 'model' — strip the wrapper prefix for bare-model inference (same
+    # unwrap as configs/retrieval_config.py; ref strips ``add_margin``,
+    # generate_tsv_to_reproduce1.py:170-171)
+    if isinstance(params, dict) and set(params) <= {"model"}:
+        params = params.get("model", {})
+        batch_stats = batch_stats.get("model", batch_stats)
     variables = {"params": params, "batch_stats": batch_stats}
 
     @jax.jit
