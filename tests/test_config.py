@@ -74,3 +74,43 @@ def test_configs_can_import_each_other_side_effect_free(tmp_path):
     )
     assert get_dict_wrapper(path).value == 0
     assert get_dict_wrapper(path).value == 0
+
+
+def test_pipelines_config_unwraps_loss_checkpoint(tmp_path, monkeypatch):
+    """configs/pipelines.py must strip the SumDetectionLoss 'model' prefix
+    that training writes (regression: prepare_tables failed to load
+    smoke-trained checkpoints)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pets_face_recognition_tpu.engine.checkpoint import save_checkpoint
+    from pets_face_recognition_tpu.engine.train_state import TrainState
+    from pets_face_recognition_tpu.models.rcnn import (
+        keypointrcnn_resnet50_fpn,
+    )
+    from pets_face_recognition_tpu.utils import get_dict_wrapper
+    import optax
+
+    model = keypointrcnn_resnet50_fpn(num_classes=2, num_keypoints=3,
+                                      box_detections_per_img=1)
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs, train=False)
+    # emulate the training tree: params under the loss wrapper's 'model' key
+    wrapped = {
+        "params": {"model": variables["params"]},
+        "batch_stats": {"model": variables.get("batch_stats", {})},
+    }
+    tx = optax.sgd(0.1)
+    state = TrainState.create(
+        model.apply, wrapped, tx
+    )
+    ckpt_dir = tmp_path / "checkpoints"
+    save_checkpoint(ckpt_dir, state, epoch=0)
+
+    monkeypatch.setenv("PFR_KEYPOINT_CKPT", str(ckpt_dir))
+    cfg = get_dict_wrapper("configs/pipelines.py")
+    fn = cfg.keypoint_pipeline()
+    out = fn(imgs)
+    assert out["keypoints"].shape[0] == 1
+    assert np.isfinite(np.asarray(out["scores"])).all()
