@@ -16,7 +16,7 @@ Weights are randomly initialized (throughput is weight-independent); compute is
 bfloat16 on the MXU with float32 params. Prints exactly one JSON line.
 
 Measured on this image's v5e (batch 128 @320px, 100 steady-state iters):
-mobile ≈ 4100 crops/s, resnet50 ≈ 1650 crops/s. See PERF.md for the stage
+mobile ≈ 4100 crops/s, resnet50 ≈ 1713 crops/s. See PERF.md for the stage
 breakdown and kernel notes.
 """
 
