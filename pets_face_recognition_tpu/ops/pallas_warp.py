@@ -135,6 +135,14 @@ def warp_affine_batch_pallas(
     default XLA precision but keeps f32 weight/mask construction.
     """
     B, src_h, src_w, C = images.shape
+    if C > 1 and src_h % 8:
+        # Channel planes are stacked along the sublane axis, so plane starts
+        # (c*src_h + h0) are only the promised multiple-of-8 when src_h is —
+        # a violated pl.multiple_of hint can silently miscompile on hardware.
+        raise ValueError(
+            f"warp_affine_batch_pallas: C={C} images need src_h % 8 == 0 "
+            f"(got {src_h}); pad the input height"
+        )
     oh, ow = out_size
     rpb = 16
     while oh % rpb:

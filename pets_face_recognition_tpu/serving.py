@@ -88,11 +88,16 @@ class EmbeddingService:
         prefetch: int = 2,
         decode_threads: int = 0,
         mesh=None,
+        warp_dtype=jnp.bfloat16,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``"data"`` axis —
         the batch is sharded across it (SPMD serving over ICI; every stage is
         per-example, so no collectives are needed and the Pallas kernels run
-        on their local shard). ``batch_size`` must divide by the axis size."""
+        on their local shard). ``batch_size`` must divide by the axis size.
+
+        ``warp_dtype``: compute dtype of the alignment warp. The bfloat16
+        default doubles MXU rate at ~0.4% pixel quantization; pass
+        ``jnp.float32`` for the cv2-exact path in quality/eval deployments."""
         self.detector_fn = detector_fn
         self.embedder_fn = embedder_fn
         self.batch_size = batch_size
@@ -103,6 +108,7 @@ class EmbeddingService:
         self.min_distance = min_distance
         self.prefetch = prefetch
         self.decode_threads = decode_threads
+        self.warp_dtype = warp_dtype
         self.mesh = mesh
         if mesh is None:
             self._embed = jax.jit(self._embed_impl)
@@ -138,7 +144,7 @@ class EmbeddingService:
             & (d12 > self.min_distance)
         )
         crops = align_crop(imgs, kps, self.base_pts, self.crop_size,
-                           compute_dtype=jnp.bfloat16)
+                           compute_dtype=self.warp_dtype)
         emb = self.embedder_fn(crops)
         return emb, decode_ok & det_ok & kp_ok
 

@@ -42,6 +42,24 @@ def test_pallas_nms_respects_valid_mask(rng):
     assert not keep[4:].any()
 
 
+def test_pallas_nms_batch_chunked_grid_matches_single(rng):
+    # G > NMS_GROUP_BLOCK (256) and not a multiple of it: exercises the
+    # chunked-grid + zero-padding path of nms_keep_sorted_batch.
+    G, K = 300, 32
+    boxes = np.stack([_rand(rng, K) for _ in range(G)])
+    order = np.argsort(-rng.uniform(0, 1, (G, K)), axis=1, kind="stable")
+    boxes = np.take_along_axis(boxes, order[..., None], axis=1)
+    valid = np.ones((G, K), bool)
+    valid[::7, -3:] = False
+    batch = np.asarray(nms_keep_sorted_batch(
+        jnp.asarray(boxes), jnp.asarray(valid), 0.5, interpret=True))
+    assert batch.shape == (G, K)
+    for g in (0, 1, 17, 255, 256, 257, 299):
+        single = np.asarray(nms_keep_sorted(
+            jnp.asarray(boxes[g]), jnp.asarray(valid[g]), 0.5, interpret=True))
+        np.testing.assert_array_equal(batch[g], single, err_msg=f"group {g}")
+
+
 def test_pallas_nms_batch_matches_single(rng):
     G, K = 6, 64
     boxes = np.stack([_rand(rng, K) for _ in range(G)])
