@@ -108,7 +108,12 @@ def generate_proposals(
         boxes = clip_boxes(boxes, image_size)
         w = boxes[..., 2] - boxes[..., 0]
         h = boxes[..., 3] - boxes[..., 1]
-        valid = (w >= min_size) & (h >= min_size) & (top_s > score_thresh)
+        # torchvision filters on sigmoid PROBABILITIES (>= score_thresh, default
+        # 0.0 — a no-op since probs are strictly positive); comparing raw logits
+        # would silently drop sub-0.5-prob proposals torchvision keeps
+        valid = ((w >= min_size) & (h >= min_size)
+                 & (jax.nn.sigmoid(top_s) >= score_thresh)
+                 & jnp.isfinite(top_s))
         pad = k - kk
         if pad:
             boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))

@@ -65,14 +65,11 @@ def _roi_params(rois, heights, widths, strides, w0ys, w0xs, w0y_max, w0x_max,
                 oh, ow, s, sy_n, sx_n, canonical_scale, canonical_level,
                 min_level, max_level):
     """Interpolation weights + window scalars for every RoI (float32)."""
+    from .roi_align import roi_levels
+
     rois_f = rois.astype(jnp.float32)
-    area = jnp.clip(rois_f[:, 2] - rois_f[:, 0], 0) * jnp.clip(
-        rois_f[:, 3] - rois_f[:, 1], 0
-    )
-    lvl = jnp.floor(
-        canonical_level + jnp.log2(jnp.sqrt(area) / canonical_scale + 1e-6)
-    )
-    lvl = jnp.clip(lvl, min_level, max_level).astype(jnp.int32) - min_level
+    lvl = roi_levels(rois_f, min_level, max_level, canonical_scale,
+                     canonical_level)
 
     scales = jnp.asarray([1.0 / st for st in strides], jnp.float32)[lvl]
     Hf = jnp.asarray(heights, jnp.float32)[lvl]

@@ -115,6 +115,30 @@ def roi_align(
     return samples.mean(axis=(2, 4))
 
 
+def roi_levels(
+    rois: jnp.ndarray,
+    min_level: int,
+    max_level: int,
+    canonical_scale: float = 224.0,
+    canonical_level: int = 4,
+) -> jnp.ndarray:
+    """FPN level index (0-based from ``min_level``) per RoI.
+
+    Exact torchvision ``LevelMapper`` numerics: ``floor(k0 + log2(sqrt(area) /
+    224) + eps)`` with eps=1e-6 added OUTSIDE the log2 (it snaps exact
+    power-of-two boundary sizes up a level; degenerate zero-area boxes give
+    ``log2(0) = -inf`` which clamps to ``min_level``, as in torchvision).
+    """
+    rois = rois.astype(jnp.float32)
+    area = jnp.clip(rois[:, 2] - rois[:, 0], 0) * jnp.clip(
+        rois[:, 3] - rois[:, 1], 0
+    )
+    lvl = jnp.floor(
+        canonical_level + jnp.log2(jnp.sqrt(area) / canonical_scale) + 1e-6
+    )
+    return jnp.clip(lvl, min_level, max_level).astype(jnp.int32) - min_level
+
+
 def _interp_weights(coords: jnp.ndarray, size: int) -> jnp.ndarray:
     """One-hot bilinear row weights: ``coords (K, n) -> (K, n, size)``.
 
@@ -172,13 +196,8 @@ def multilevel_roi_align_dense(
     assert R * B == K, "dense RoIAlign requires K divisible by B"
 
     rois = rois.astype(jnp.float32)
-    area = jnp.clip(rois[:, 2] - rois[:, 0], 0) * jnp.clip(
-        rois[:, 3] - rois[:, 1], 0
-    )
-    lvl = jnp.floor(
-        canonical_level + jnp.log2(jnp.sqrt(area) / canonical_scale + 1e-6)
-    )
-    lvl = jnp.clip(lvl, min_level, max_level).astype(jnp.int32) - min_level
+    lvl = roi_levels(rois, min_level, max_level, canonical_scale,
+                     canonical_level)
 
     iy = (jnp.arange(oh)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)
     ix = (jnp.arange(ow)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)
@@ -265,15 +284,10 @@ def multilevel_roi_align(
     offs = jnp.asarray(offsets, jnp.int32)
     scales = jnp.asarray([1.0 / st for st in strides], jnp.float32)
 
-    # level assignment (torchvision LevelMapper, eps keeps log2 finite)
+    # level assignment (torchvision LevelMapper numerics)
     rois = rois.astype(jnp.float32)
-    area = jnp.clip(rois[:, 2] - rois[:, 0], 0) * jnp.clip(
-        rois[:, 3] - rois[:, 1], 0
-    )
-    lvl = jnp.floor(
-        canonical_level + jnp.log2(jnp.sqrt(area) / canonical_scale + 1e-6)
-    )
-    lvl = jnp.clip(lvl, min_level, max_level).astype(jnp.int32) - min_level
+    lvl = roi_levels(rois, min_level, max_level, canonical_scale,
+                     canonical_level)
 
     scale = scales[lvl]  # (K,)
     H = hs[lvl]
