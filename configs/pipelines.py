@@ -52,8 +52,22 @@ def _jitted_forward(model, ckpt_path: Path):
     return model_fn
 
 
-def keypoint_pipeline():
-    ckpt = _resolve("PFR_KEYPOINT_CKPT", "results/keypoint/checkpoints")
+# Dataset-version ablation checkpoints (reference Preproc7-13 each hard-code a
+# distinct mlruns keypoint checkpoint, ``/root/reference/preprocessor/__init__.py:322-610``):
+#   prod -> epoch=14 (Preproc3/6/13), v2 -> mlruns 654e1dcc epoch=11 (Preproc7/8),
+#   v3 -> mlruns 8b15c649 epoch=5 (Preproc9/10), v4 -> mlruns 8d5b5fd1 epoch=12
+#   (Preproc11/12).
+KEYPOINT_VARIANTS = {
+    "prod": ("PFR_KEYPOINT_CKPT", "results/keypoint/checkpoints"),
+    "v2": ("PFR_KEYPOINT_CKPT_V2", "results/keypoint_v2/checkpoints"),
+    "v3": ("PFR_KEYPOINT_CKPT_V3", "results/keypoint_v3/checkpoints"),
+    "v4": ("PFR_KEYPOINT_CKPT_V4", "results/keypoint_v4/checkpoints"),
+}
+
+
+def keypoint_pipeline(variant: str = "prod"):
+    env, default = KEYPOINT_VARIANTS[variant]
+    ckpt = _resolve(env, default)
     model = keypointrcnn_resnet50_fpn(num_classes=2, num_keypoints=3,
                                       box_detections_per_img=1)
     return _jitted_forward(model, ckpt)

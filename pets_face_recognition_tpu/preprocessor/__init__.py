@@ -424,17 +424,79 @@ class PreprocCombined:
         return aligned, np.asarray(valid) & np.asarray(valid2), raw
 
 
-# Dataset-version ablation pipelines: the reference's Preproc7/9/11 are Preproc3
-# bound to other checkpoints, and Preproc8/10/12/13 are Preproc6 likewise
-# (ref ``:322-610,746-795``). Checkpoint selection is a constructor argument
-# here, so the variants are thin aliases kept for API parity.
-Preproc7 = Preproc3
-Preproc9 = Preproc3
-Preproc11 = Preproc3
-Preproc8 = Preproc6
-Preproc10 = Preproc6
-Preproc12 = Preproc6
-Preproc13 = Preproc6
+# Dataset-version ablation pipelines (ref ``:322-610,746-795``): each reference
+# variant is Preproc3 (aligned) or Preproc6 (bbox crop) hard-bound to a distinct
+# mlruns keypoint checkpoint. Here the binding is a default ``loader`` resolved
+# through ``configs.pipelines.keypoint_pipeline(variant)`` (env-overridable
+# checkpoint paths) — constructing ``Preproc9()`` loads a different checkpoint
+# than ``Preproc3()``; passing ``model_fn``/``loader`` explicitly still wins.
+
+
+def _variant_loader(variant: str):
+    """Deferred per-variant detector loader (mirrors the reference's
+    ``models_init`` reload-on-unpickle contract)."""
+    def load():
+        from configs.pipelines import keypoint_pipeline
+
+        return keypoint_pipeline(variant)
+
+    load.variant = variant
+    return load
+
+
+class _VariantBinding:
+    """Mixin: when neither ``model_fn`` nor ``loader`` is given, bind the
+    class's checkpoint variant."""
+
+    CKPT_VARIANT = "prod"
+
+    def __init__(self, model_fn=None, loader=None, **kwargs):
+        if model_fn is None and loader is None:
+            loader = _variant_loader(self.CKPT_VARIANT)
+        super().__init__(model_fn=model_fn, loader=loader, **kwargs)
+
+
+class Preproc7(_VariantBinding, Preproc3):
+    """Aligned head crop, dataset-v2 ablation checkpoint (ref ``:364-416``)."""
+
+    CKPT_VARIANT = "v2"
+
+
+class Preproc8(_VariantBinding, Preproc6):
+    """Head bbox crop, dataset-v2 ablation checkpoint (ref ``:322-361``)."""
+
+    CKPT_VARIANT = "v2"
+
+
+class Preproc9(_VariantBinding, Preproc3):
+    """Aligned head crop, dataset-v3 ablation checkpoint (ref ``:461-513``)."""
+
+    CKPT_VARIANT = "v3"
+
+
+class Preproc10(_VariantBinding, Preproc6):
+    """Head bbox crop, dataset-v3 ablation checkpoint (ref ``:419-458``)."""
+
+    CKPT_VARIANT = "v3"
+
+
+class Preproc11(_VariantBinding, Preproc3):
+    """Aligned head crop, dataset-v4 ablation checkpoint (ref ``:558-610``)."""
+
+    CKPT_VARIANT = "v4"
+
+
+class Preproc12(_VariantBinding, Preproc6):
+    """Head bbox crop, dataset-v4 ablation checkpoint (ref ``:516-555``)."""
+
+    CKPT_VARIANT = "v4"
+
+
+class Preproc13(_VariantBinding, Preproc6):
+    """Head bbox crop on the production keypoint checkpoint (ref ``:746-795``
+    binds the same epoch=14 checkpoint as Preproc6)."""
+
+    CKPT_VARIANT = "prod"
 
 
 class IdentityPreproc:

@@ -102,3 +102,41 @@ def test_preproc6_returns_bbox_for_metrics(img):
 def test_identity_preproc(img):
     pre = IdentityPreproc()
     np.testing.assert_array_equal(pre(img), img)
+
+
+def test_variant_pipelines_bind_distinct_checkpoints(monkeypatch):
+    """Preproc7-13 must resolve per-variant checkpoints (ref binds each ablation
+    pipeline to its own mlruns ckpt, ``preprocessor/__init__.py:322-610``)."""
+    from pets_face_recognition_tpu.preprocessor import (
+        Preproc7, Preproc8, Preproc9, Preproc10, Preproc11, Preproc12,
+        Preproc13,
+    )
+
+    expected = {
+        Preproc7: ("v2", True), Preproc8: ("v2", False),
+        Preproc9: ("v3", True), Preproc10: ("v3", False),
+        Preproc11: ("v4", True), Preproc12: ("v4", False),
+        Preproc13: ("prod", False),
+    }
+    from pets_face_recognition_tpu.preprocessor import Preproc3, Preproc6
+
+    for cls, (variant, aligned) in expected.items():
+        pre = cls()
+        assert pre._loader.variant == variant, cls.__name__
+        assert isinstance(pre, Preproc3 if aligned else Preproc6), cls.__name__
+
+    # the deferred loader reaches configs.pipelines with the right variant
+    import configs.pipelines as cp
+
+    seen = []
+    monkeypatch.setattr(cp, "keypoint_pipeline",
+                        lambda variant="prod": seen.append(variant) or "FN")
+    assert Preproc9().model_fn == "FN"
+    assert seen == ["v3"]
+
+    # env-var mapping: each variant resolves its own checkpoint path
+    envs = {cp.KEYPOINT_VARIANTS[v][0] for v in ("prod", "v2", "v3", "v4")}
+    assert len(envs) == 4
+
+    # explicit model_fn still wins over the variant binding
+    assert Preproc11(model_fn="X").model_fn == "X"
