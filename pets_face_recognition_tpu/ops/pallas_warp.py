@@ -80,13 +80,14 @@ def _warp_kernel(h0_ref, coeff_ref, img_ref, out_ref, *, out_w, src_h,
         mT = jnp.maximum(0.0, 1.0 - jnp.abs(yb - rel))
 
         if int8_mode:
-            # int8 MXU runs 2x bf16 on v5e. Tent weights quantize to 1/127
-            # steps, pixels to 1/254 (see caller); the zero-point correction
-            # rides one extra 8-row matmul (colsum of the quantized weights).
+            # int8 MXU runs 2x bf16 on v5e. Symmetric quantization: tent
+            # weights and pixels both scale by 127 with NO zero point, so the
+            # dequant is one scalar multiply — no correction matmuls (the
+            # earlier zero-point formulation spent an extra 8-row colsum
+            # matmul + a VPU add per channel and measured no end-to-end win).
+            # Error: pixels 0.5/127 + two x-taps' tent steps ≈ 1% worst-case,
+            # same class as bfloat16's 0.4% and below JPEG noise.
             wxT = jnp.round(wxT * 127.0).astype(jnp.int8)
-            ones8 = jnp.full((8, src_w), 1, jnp.int8)
-            colsum = jnp.dot(ones8, wxT, preferred_element_type=jnp.int32)[0:1]
-            colsum_f = colsum.astype(jnp.float32)              # (1, R)
         else:
             wxT = wxT.astype(mm_dtype)
 
@@ -100,9 +101,7 @@ def _warp_kernel(h0_ref, coeff_ref, img_ref, out_ref, *, out_w, src_h,
             if int8_mode:
                 acc = jnp.dot(slab, wxT,
                               preferred_element_type=jnp.int32)  # (band, R)
-                # pixel q = round(254*img) - 127 => img = (q + 127) / 254
-                aT = (acc.astype(jnp.float32) + 127.0 * colsum_f) * (
-                    1.0 / (254.0 * 127.0))
+                aT = acc.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
             else:
                 aT = jnp.dot(slab.astype(mm_dtype), wxT,
                              preferred_element_type=jnp.float32)  # (band, R)
@@ -185,11 +184,10 @@ def warp_affine_batch_pallas(
     # channels get a plane — the kernel loops c < C, so C=3 does 25% less MXU
     # work than the earlier fixed-4-plane layout.
     if compute_dtype == jnp.int8:
-        # int8 serving mode: pixels must be in [0, 1]; q = round(254*img) - 127.
-        # Max abs pixel error ~0.5/254 + tent quantization ~0.5/127 ≈ 0.6% —
-        # the same order as bfloat16's 0.4%, far below JPEG noise.
-        q = jnp.clip(jnp.round(images.astype(jnp.float32) * 254.0) - 127.0,
-                     -127.0, 127.0).astype(jnp.int8)
+        # int8 serving mode: pixels must be in [0, 1]; symmetric q =
+        # round(127*img) (scale-only dequant — see the kernel's int8 note).
+        q = jnp.clip(jnp.round(images.astype(jnp.float32) * 127.0),
+                     0.0, 127.0).astype(jnp.int8)
         imgs_p = jnp.transpose(q, (0, 3, 1, 2))
     else:
         imgs_p = jnp.transpose(images.astype(compute_dtype), (0, 3, 1, 2))

@@ -103,11 +103,19 @@ class _ModelPipeline:
 
     def __init__(self, model_fn: Callable | None = None,
                  loader: Callable | None = None,
-                 input_size: tuple[int, int] = (320, 320)):
+                 input_size: tuple[int, int] = (320, 320),
+                 serve_batch: int | None = None):
         assert model_fn is not None or loader is not None
         self._model_fn = model_fn
         self._loader = loader
         self.input_size = tuple(input_size)
+        # Fixed serving batch: when set, every detector call is zero-padded to
+        # exactly this many images so ONE executable serves all chunk sizes.
+        # Jitting at the literal chunk length compiles (and keeps resident) one
+        # detector graph per distinct corpus-tail length — wasteful anywhere,
+        # and on this image's remote-compile backend each extra shape costs
+        # minutes (and executable churn has produced TPU-worker crashes).
+        self.serve_batch = serve_batch
 
     @property
     def model_fn(self):
@@ -146,6 +154,23 @@ class _ModelPipeline:
             pads[i] = (px, py)
         return batch, scales, pads
 
+    def _detect(self, images):
+        """``_prepare`` + detector forward, zero-padded to ``serve_batch``.
+
+        Returns ``(out, n, scales, pads)`` with every detector output sliced
+        back to the ``n = len(images)`` real rows.
+        """
+        batch, scales, pads = self._prepare(images)
+        n = len(batch)
+        if self.serve_batch is not None and n != self.serve_batch:
+            assert n <= self.serve_batch, (
+                f"chunk of {n} images exceeds serve_batch={self.serve_batch}")
+            pad = np.zeros((self.serve_batch - n, *batch.shape[1:]), np.float32)
+            batch = np.concatenate([batch, pad])
+        dets = self.model_fn(jnp.asarray(batch))
+        out = {k: np.asarray(v)[:n] for k, v in jax.device_get(dets).items()}
+        return out, n, scales, pads
+
 
 class Preproc3(_ModelPipeline):
     """Head landmarks → aligned crop (production head pipeline, ref ``:161-216``)."""
@@ -153,8 +178,9 @@ class Preproc3(_ModelPipeline):
     def __init__(self, model_fn=None, loader=None, thr: float = 0.9,
                  min_distance: float = 5.0, base_pts=DEFAULT_BASE_PTS,
                  dsize=(224, 224, 3), input_size=(320, 320),
-                 return_for_metrics: bool = False):
-        super().__init__(model_fn, loader, input_size)
+                 return_for_metrics: bool = False,
+                 serve_batch: int | None = None):
+        super().__init__(model_fn, loader, input_size, serve_batch)
         self.thr = thr
         self.min_distance = min_distance
         self.base_pts = np.asarray(base_pts, np.float32)
@@ -163,9 +189,7 @@ class Preproc3(_ModelPipeline):
 
     def batch(self, images) -> tuple[np.ndarray, np.ndarray, dict]:
         """(B images) → (aligned (B, h, w, 3) uint8-range float, valid (B,), raw)."""
-        batch, scales, pads = self._prepare(images)
-        dets = self.model_fn(jnp.asarray(batch))
-        out = jax.device_get(dets)
+        out, n, scales, pads = self._detect(images)
 
         scores = out["scores"][:, 0]
         det_valid = out["valid"][:, 0]
@@ -200,7 +224,7 @@ class Preproc3(_ModelPipeline):
         import cv2
 
         out_hw = self.dsize[:2]
-        aligned = np.zeros((len(batch), *out_hw, 3), np.float32)
+        aligned = np.zeros((n, *out_hw, 3), np.float32)
         img_list = [images] if isinstance(images, np.ndarray) and np.ndim(
             images) == 3 else images
         solve_pts = np.concatenate(
@@ -211,7 +235,7 @@ class Preproc3(_ModelPipeline):
         )
         Hs = np.asarray(solve_homography(
             jnp.asarray(solve_pts), jnp.broadcast_to(
-                jnp.asarray(base4), (len(batch), 4, 2))
+                jnp.asarray(base4), (n, 4, 2))
         ))
         for i, img in enumerate(img_list):
             if not valid[i]:
@@ -243,8 +267,9 @@ class Preproc4(_ModelPipeline):
     def __init__(self, model_fn=None, loader=None, thr: float = 0.9,
                  use_mask: bool = False, mask_thr: float = 0.5,
                  out_size: tuple[int, int] | None = None,
-                 input_size=(320, 320), return_for_metrics: bool = False):
-        super().__init__(model_fn, loader, input_size)
+                 input_size=(320, 320), return_for_metrics: bool = False,
+                 serve_batch: int | None = None):
+        super().__init__(model_fn, loader, input_size, serve_batch)
         self.thr = thr
         self.use_mask = use_mask
         self.mask_thr = mask_thr
@@ -254,9 +279,7 @@ class Preproc4(_ModelPipeline):
     def batch(self, images):
         """→ (crops, valid, raw). ``out_size`` set: fixed-size letterboxed crops
         on device; otherwise host-side variable-size crops (compat path)."""
-        batch, scales, pads = self._prepare(images)
-        dets = self.model_fn(jnp.asarray(batch))
-        out = jax.device_get(dets)
+        out, _, scales, pads = self._detect(images)
 
         all_scores = out["scores"]
         scores = all_scores[:, 0]
@@ -338,10 +361,12 @@ class Preproc6(Preproc4):
 
     def __init__(self, model_fn=None, loader=None, thr: float = 0.9,
                  out_size=None, input_size=(320, 320),
-                 return_for_metrics: bool = False):
+                 return_for_metrics: bool = False,
+                 serve_batch: int | None = None):
         super().__init__(model_fn, loader, thr=thr, use_mask=False,
                          out_size=out_size, input_size=input_size,
-                         return_for_metrics=return_for_metrics)
+                         return_for_metrics=return_for_metrics,
+                         serve_batch=serve_batch)
 
 
 class Preproc5(_ModelPipeline):
@@ -351,15 +376,14 @@ class Preproc5(_ModelPipeline):
     mask-derived bbox tightening, unlike Preproc4."""
 
     def __init__(self, model_fn=None, loader=None, thr: float = 0.9,
-                 mask_thr: float = 0.5, input_size=(320, 320)):
-        super().__init__(model_fn, loader, input_size)
+                 mask_thr: float = 0.5, input_size=(320, 320),
+                 serve_batch: int | None = None):
+        super().__init__(model_fn, loader, input_size, serve_batch)
         self.thr = thr
         self.mask_thr = mask_thr
 
     def batch(self, images):
-        batch, scales, pads = self._prepare(images)
-        dets = self.model_fn(jnp.asarray(batch))
-        out = jax.device_get(dets)
+        out, _, scales, pads = self._detect(images)
         scores = out["scores"][:, 0]
         valid = out["valid"][:, 0] & (scores > self.thr)
         boxes = (out["boxes"][:, 0] - np.tile(pads, 2)) / scales[:, None]

@@ -60,8 +60,8 @@ def test_pallas_warp_identity_and_scale(rng):
 
 
 def test_pallas_warp_int8_close_to_f32(rng):
-    """int8 serving mode: quantization error bounded by ~0.6% of the pixel
-    range ([0, 1] inputs required by the int8 path)."""
+    """int8 serving mode (symmetric, scale 127): quantization error bounded by
+    ~1% of the pixel range ([0, 1] inputs required by the int8 path)."""
     B = 2
     imgs = rng.uniform(0, 1, (B, 320, 320, 3)).astype(np.float32)
     Hs = []
@@ -79,7 +79,7 @@ def test_pallas_warp_int8_close_to_f32(rng):
         jnp.asarray(imgs), jnp.asarray(Hs), (224, 224), interpret=True,
         compute_dtype=jnp.int8,
     ))
-    assert np.abs(f32 - i8).max() < 8e-3
+    assert np.abs(f32 - i8).max() < 1.2e-2
 
 
 def test_pallas_warp_v3_matches_projective_reference(rng):

@@ -129,11 +129,79 @@ def make_oxford(root: Path, n_imgs: int = 40, size: int = 320,
     return base
 
 
+def _pet_image(rng: np.random.RandomState, size: int = 320) -> np.ndarray:
+    """Pet-like image with the eyes+nose structure the smoke keypoint detector
+    is trained on (same construction as :func:`make_cat_dataset`)."""
+    img = rng.randint(30, 120, (size, size, 3), np.uint8)
+    cx, cy = rng.randint(size // 3, 2 * size // 3, 2)
+    d = rng.randint(30, 60)
+    pts = [(cx - d, cy), (cx + d, cy), (cx, cy + int(1.2 * d))]
+    yy, xx = np.mgrid[:size, :size]
+    for (x, y), col in zip(pts, ((255, 255, 255), (255, 255, 255),
+                                 (255, 128, 128))):
+        m = (xx - x) ** 2 + (yy - y) ** 2 < 36
+        img[m] = col
+    return img
+
+
+def make_data25(root: Path, n_cards: int = 6, n_imgs: int = 3,
+                seed: int = 3) -> Path:
+    """``data_25`` in the kashtanka card layout (``card.json['pet']['animal']``
+    + images), including two of the hard-coded bad-image names from
+    ``transform_reproduce.DATA_25_EXCLUDE`` so the exclusion-list matching is
+    exercised on the smoke corpus."""
+    rng = np.random.RandomState(seed)
+    out = root / "data_25"
+    for i in range(n_cards):
+        card = out / (f"rl{131336 + i}" if i % 2 == 0 else f"rf{337006 + i}")
+        card.mkdir(parents=True, exist_ok=True)
+        (card / "card.json").write_text(
+            '{"pet": {"animal": %d}}' % (1 + i % 2)
+        )
+        for j in range(n_imgs):
+            Image.fromarray(_pet_image(rng)).save(
+                card / f"{600000 + 10 * i + j}.jpg", quality=92
+            )
+    # excluded names (transform_reproduce.py exclusion list)
+    for rel in ("rl131336/216319.jpg", "rl378360/660074.jpg"):
+        p = out / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        if not (p.parent / "card.json").exists():
+            (p.parent / "card.json").write_text('{"pet": {"animal": 1}}')
+        Image.fromarray(_pet_image(rng)).save(p, quality=92)
+    return out
+
+
+def make_petfinder_extras(root: Path, n_cards: int = 3, n_imgs: int = 2,
+                          seed: int = 4) -> tuple[Path, Path]:
+    """``petfinder_extra_{dogs,cats}`` folder-of-folders layouts, including the
+    exact excluded dirs/files ``transform_reproduce.extra_petfinder`` lists
+    (``48683845``, ``45528036``, ``48009947/3.png``, ``24355557/4.png``)."""
+    rng = np.random.RandomState(seed)
+    dogs = root / "petfinder_extra_dogs"
+    cats = root / "petfinder_extra_cats"
+    for base, first in ((dogs, 48009947), (cats, 24355557)):
+        for i in range(n_cards):
+            d = base / str(first + i)
+            d.mkdir(parents=True, exist_ok=True)
+            for j in range(n_imgs):
+                Image.fromarray(_pet_image(rng)).save(d / f"{j}.png")
+    # excluded entries must exist (the script iterates them unconditionally)
+    for d in (dogs / "48683845", dogs / "45528036"):
+        d.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(_pet_image(rng)).save(d / "0.png")
+    Image.fromarray(_pet_image(rng)).save(dogs / "48009947" / "3.png")
+    Image.fromarray(_pet_image(rng)).save(cats / "24355557" / "4.png")
+    return dogs, cats
+
+
 def main(root: str = "/tmp/pfr_smoke"):
     rootp = Path(root)
     print("fe:", make_fe(rootp))
     print("cat landmarks:", make_cat_dataset(rootp))
     print("oxford:", make_oxford(rootp))
+    print("data_25:", make_data25(rootp))
+    print("petfinder:", make_petfinder_extras(rootp))
 
 
 if __name__ == "__main__":

@@ -35,12 +35,15 @@ def main():
     cfg = get_dict_wrapper(args.pipelines_config)
     if args.pipeline == "head":
         pre = Preproc3(loader=cfg.keypoint_pipeline, thr=args.thr,
-                       base_pts=BASE_PTS, dsize=(224, 224, 3))
+                       base_pts=BASE_PTS, dsize=(224, 224, 3),
+                       serve_batch=args.batch_size)
     elif args.pipeline == "body":
         pre = Preproc4(loader=cfg.mask_pipeline, thr=args.thr,
-                       use_mask=args.masked, mask_thr=args.mask_thr)
+                       use_mask=args.masked, mask_thr=args.mask_thr,
+                       serve_batch=args.batch_size)
     else:
-        pre = Preproc6(loader=cfg.keypoint_pipeline, thr=args.thr)
+        pre = Preproc6(loader=cfg.keypoint_pipeline, thr=args.thr,
+                       serve_batch=args.batch_size)
 
     transform_dataset(args.input, pre, args.output,
                       batch_size=args.batch_size)

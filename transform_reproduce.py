@@ -55,7 +55,7 @@ DATA_25_EXCLUDE = [
     "data_25/rf133831/221556.jpg",
 ]
 
-DATA_ROOT = Path("../pets_datasets")
+DATA_ROOT = Path(os.environ.get("PFR_DATA_ROOT", "../pets_datasets"))
 
 
 def transform_dataset(input_root, preprocessor, output_root=None, paths=None,
@@ -83,6 +83,11 @@ def transform_dataset(input_root, preprocessor, output_root=None, paths=None,
         todo.append((Path(p), rel))
 
     use_batch = hasattr(preprocessor, "batch")
+    # a fixed-shape serving pipeline dictates its own chunk size: every chunk
+    # is padded to serve_batch on device, so chunking any larger would assert
+    serve = getattr(preprocessor, "serve_batch", None)
+    if serve is not None:
+        batch_size = serve
     for start in tqdm(range(0, len(todo), batch_size)):
         chunk = todo[start : start + batch_size]
         images, metas = [], []
@@ -147,28 +152,38 @@ def extra_petfinder(preprocessor, tag: str = "dog") -> None:
 
 
 def main():
-    global v
+    global v, DATA_ROOT
     parser = argparse.ArgumentParser()
     parser.add_argument("--pipelines-config", type=Path,
                         default=Path("configs/pipelines.py"))
     parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--data-root", type=Path, default=DATA_ROOT,
+                        help="datasets root (default ../pets_datasets, env "
+                             "PFR_DATA_ROOT)")
+    parser.add_argument("--stages", default="aligned,masked",
+                        help="comma list of {aligned,masked} passes to run")
     args = parser.parse_args()
+    DATA_ROOT = args.data_root
     cfg = get_dict_wrapper(args.pipelines_config)
+    stages = set(args.stages.split(","))
 
-    pre3 = Preproc3(loader=cfg.keypoint_pipeline, base_pts=BASE_PTS,
-                    dsize=(224, 224, 3))
-    v = "v6"
-    extra_petfinder(pre3, "dog")
-    data_25(pre3, 1)
-    data_25(pre3, 2)
-    extra_petfinder(pre3, "cat")
+    if "aligned" in stages:
+        pre3 = Preproc3(loader=cfg.keypoint_pipeline, base_pts=BASE_PTS,
+                        dsize=(224, 224, 3), serve_batch=args.batch_size)
+        v = "v6"
+        extra_petfinder(pre3, "dog")
+        data_25(pre3, 1)
+        data_25(pre3, 2)
+        extra_petfinder(pre3, "cat")
 
-    pre4 = Preproc4(loader=cfg.mask_pipeline, use_mask=True, mask_thr=0.7)
-    v = "v4_masked"
-    extra_petfinder(pre4, "dog")
-    data_25(pre4, 1)
-    data_25(pre4, 2)
-    extra_petfinder(pre4, "cat")
+    if "masked" in stages:
+        pre4 = Preproc4(loader=cfg.mask_pipeline, use_mask=True, mask_thr=0.7,
+                        serve_batch=args.batch_size)
+        v = "v4_masked"
+        extra_petfinder(pre4, "dog")
+        data_25(pre4, 1)
+        data_25(pre4, 2)
+        extra_petfinder(pre4, "cat")
 
 
 if __name__ == "__main__":
