@@ -230,6 +230,23 @@ def postprocess_detections_batch(
     h = fg_boxes[..., 3] - fg_boxes[..., 1]
     fg_valid = fg_valid & (w >= 0.01) & (h >= 0.01) & (fg_scores > score_thresh)
 
+    if detections_per_img == 1:
+        # Exact fast path: greedy NMS never suppresses the highest-scored box,
+        # so top-1-after-NMS == argmax over valid candidates (same tie-break:
+        # argmax and the stable descending argsort both pick the lowest index).
+        # Skips the sort + NMS kernel + 5 gathers — the serving detectors and
+        # the production keypoint config all run box_detections_per_img=1
+        # (ref models/detection/rcnn.py:19,117; keypoints_config.py:80).
+        masked = jnp.where(fg_valid, fg_scores, -jnp.inf)
+        top_i = jnp.argmax(masked, axis=1)  # (B,)
+        top_s = jnp.take_along_axis(masked, top_i[:, None], axis=1)  # (B, 1)
+        out_boxes = jnp.take_along_axis(fg_boxes, top_i[:, None, None], axis=1)
+        out_labels = jnp.take_along_axis(
+            jnp.broadcast_to(fg_labels, fg_scores.shape), top_i[:, None], axis=1)
+        out_valid = top_s > -jnp.inf
+        return (out_boxes, out_labels, jnp.where(out_valid, top_s, 0.0),
+                out_valid)
+
     # class-offset trick so classes never suppress each other
     max_coord = float(max(image_size)) + 2.0
     shifted = fg_boxes + (

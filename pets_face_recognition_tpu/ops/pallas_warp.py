@@ -45,16 +45,20 @@ from jax.experimental.pallas import tpu as pltpu
 BAND = 160
 
 
-def _warp_kernel(h0_ref, coeff_ref, img_ref, out_ref, *, out_w, src_h,
-                 src_w, band, n_blocks, mm_dtype, rpb, n_ch, ipp, out_dtype):
+XCHUNK = 128  # lane-chunk width for the x-contraction (static slice granularity)
+
+
+def _warp_kernel(h0_ref, coeff_ref, xflags_ref, img_ref, out_ref, acc_ref, *,
+                 out_w, src_h, src_w, band, n_blocks, mm_dtype, rpb, n_ch,
+                 ipp, out_dtype):
     big = pl.program_id(0)   # image-group index (ipp images per program)
     blk = pl.program_id(1)
 
     R = rpb * out_w
+    n_chunks = -(-src_w // XCHUNK)
     rj = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
     jf = (rj % out_w).astype(jnp.float32)
     i = (rj // out_w + blk * rpb).astype(jnp.float32)
-    xi = jax.lax.broadcasted_iota(jnp.int32, (src_w, R), 0).astype(jnp.float32)
     yb = jax.lax.broadcasted_iota(jnp.int32, (band, R), 0).astype(jnp.float32)
     int8_mode = mm_dtype == jnp.int8
 
@@ -76,38 +80,55 @@ def _warp_kernel(h0_ref, coeff_ref, img_ref, out_ref, *, out_w, src_h,
         sx = t * jf + (s * i + u)                              # (1, R)
         sy = q * jf + (p * i + r)
         rel = sy - h0.astype(jnp.float32)
-        wxT = jnp.maximum(0.0, 1.0 - jnp.abs(xi - sx))
         mT = jnp.maximum(0.0, 1.0 - jnp.abs(yb - rel))
 
-        if int8_mode:
-            # int8 MXU runs 2x bf16 on v5e. Symmetric quantization: tent
-            # weights and pixels both scale by 127 with NO zero point, so the
-            # dequant is one scalar multiply — no correction matmuls (the
-            # earlier zero-point formulation spent an extra 8-row colsum
-            # matmul + a VPU add per channel and measured no end-to-end win).
-            # Error: pixels 0.5/127 + two x-taps' tent steps ≈ 1% worst-case,
-            # same class as bfloat16's 0.4% and below JPEG noise.
-            wxT = jnp.round(wxT * 127.0).astype(jnp.int8)
-        else:
-            wxT = wxT.astype(mm_dtype)
+        # x-CHUNKED contraction: the x-tent is nonzero only on the ~|t|·out_w
+        # columns the block's taps touch, so whole 128-lane chunks of the
+        # (src_w, R) tent build + matmul are dead for typical alignment
+        # geometry. The host marks live chunks per (image, block); @pl.when on
+        # an SMEM scalar is a REAL branch on this hardware (measured: one
+        # active chunk runs ~1/3 the all-active cost), so skipped chunks cost
+        # nothing. Exact: chunks partition [0, src_w), skipped chunks hold no
+        # taps, and the f32 scratch accumulates partial rows losslessly.
+        acc_ref[...] = jnp.zeros((4, R), jnp.float32)
+        for k in range(n_chunks):
+            cw = min(XCHUNK, src_w - XCHUNK * k)
 
-        # only real channels: the pad plane (C<4) is all zeros — skipping it
-        # cuts 25% of the MXU work at C=3; its output rows are dropped by the
-        # caller
-        for c in range(n_ch):
-            # h0 is 8-aligned (sublane granularity)
-            start = pl.multiple_of(c * src_h + h0, 8)
-            slab = img_ref[gi, pl.ds(start, band), :]          # (band, W)
-            if int8_mode:
-                acc = jnp.dot(slab, wxT,
-                              preferred_element_type=jnp.int32)  # (band, R)
-                aT = acc.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
-            else:
-                aT = jnp.dot(slab.astype(mm_dtype), wxT,
-                             preferred_element_type=jnp.float32)  # (band, R)
-            # sublane reduction to one output row; keep 2-D (1, R) for Mosaic
-            row = jnp.sum(aT * mT, axis=0, keepdims=True)
-            out_ref[gi, 0, pl.ds(c, 1), :] = row.astype(out_dtype)
+            @pl.when(xflags_ref[(bi * n_blocks + blk) * n_chunks + k] > 0)
+            def _(k=k, cw=cw):
+                xi = (jax.lax.broadcasted_iota(jnp.int32, (cw, R), 0)
+                      + XCHUNK * k).astype(jnp.float32)
+                wxT = jnp.maximum(0.0, 1.0 - jnp.abs(xi - sx))
+                if int8_mode:
+                    # int8 MXU runs 2x bf16 on v5e. Symmetric quantization:
+                    # tent weights and pixels both scale by 127 with NO zero
+                    # point, so the dequant is one scalar multiply. Error:
+                    # pixels 0.5/127 + two x-taps' tent steps ≈ 1% worst-case,
+                    # same class as bfloat16's 0.4% and below JPEG noise.
+                    wxTq = jnp.round(wxT * 127.0).astype(jnp.int8)
+                else:
+                    wxTq = wxT.astype(mm_dtype)
+
+                # only real channels: the pad plane (C<4) is all zeros —
+                # skipping it cuts 25% of the MXU work at C=3; its output rows
+                # are dropped by the caller
+                for c in range(n_ch):
+                    # h0 is 8-aligned (sublane granularity)
+                    start = pl.multiple_of(c * src_h + h0, 8)
+                    slab = img_ref[gi, pl.ds(start, band),
+                                   XCHUNK * k : XCHUNK * k + cw]  # (band, cw)
+                    if int8_mode:
+                        a = jnp.dot(slab, wxTq,
+                                    preferred_element_type=jnp.int32)
+                        aT = a.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+                    else:
+                        aT = jnp.dot(slab.astype(mm_dtype), wxTq,
+                                     preferred_element_type=jnp.float32)
+                    # sublane reduction to one output row; keep 2-D (1, R)
+                    row = jnp.sum(aT * mT, axis=0, keepdims=True)
+                    acc_ref[pl.ds(c, 1), :] += row
+
+        out_ref[gi, 0, :, :] = acc_ref[...].astype(out_dtype)
 
 
 @functools.partial(
@@ -122,7 +143,7 @@ def warp_affine_batch_pallas(
     interpret: bool = False,
     compute_dtype=jnp.float32,
     band: int = BAND,
-    imgs_per_program: int = 2,
+    imgs_per_program: int = 8,
     out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Batched affine inverse warp: ``(B, H, W, C<=4) × (B, 3, 3) → (B, oh, ow, C)``.
@@ -143,16 +164,41 @@ def warp_affine_batch_pallas(
             f"(got {src_h}); pad the input height"
         )
     oh, ow = out_size
-    rpb = 16
-    while oh % rpb:
-        rpb //= 2
-    n_blocks = oh // rpb
     # MXU work scales with the band; serving can narrow it (multiple of 8,
     # rotation limit per the module docstring)
     assert band % 8 == 0, "band must be a multiple of 8"
     band = min(band, src_h)
+    n_chunks_est = -(-src_w // XCHUNK)
+
+    def _stack_est(rpb_):
+        # Mosaic kernel-stack estimate (bytes): the (band, R) tent/mask/acc
+        # temporaries plus per-chunk (XCHUNK, R) tent builds; the 0.72 factor
+        # is calibrated against two hardware OOM reports (band=160, f32:
+        # 16.27M observed vs 22.5M summed). The scoped-vmem limit is a hard
+        # 16M; interpret mode cannot check it.
+        R_ = rpb_ * ow
+        return R_ * 4 * (2 * band + n_chunks_est * (2 * XCHUNK + band)) * 0.72
+
+    rpb = 16
+    while oh % rpb:
+        rpb //= 2
+    while rpb > 1 and _stack_est(rpb) > 15 * 1024 * 1024:
+        rpb //= 2
+    n_blocks = oh // rpb
     ipp = imgs_per_program
     while B % ipp:
+        ipp -= 1
+    # scoped-VMEM clamp: the per-program image block rides VMEM double-buffered
+    # (observed hard limit 16 MB; f32 320² C=3 at ipp=8 overflows by ~0.7 MB on
+    # hardware — interpret mode can't catch it). Shrink ipp until the estimate
+    # fits; serving's int8/bf16 pixels keep ipp=8.
+    in_item = jnp.dtype(compute_dtype).itemsize
+    out_item = jnp.dtype(out_dtype).itemsize
+    while ipp > 1:
+        est = (2 * ipp * C * src_h * src_w * in_item
+               + 2 * ipp * 4 * rpb * ow * out_item + 4 * rpb * ow * 4)
+        if est <= 14 * 1024 * 1024 and B % ipp == 0:
+            break
         ipp -= 1
 
     Minv = jnp.linalg.inv(H.astype(jnp.float32))
@@ -179,6 +225,22 @@ def warp_affine_batch_pallas(
     h0 = (h0 // 8) * 8  # sublane-slice alignment
     h0 = h0.reshape(-1)  # (B * n_blocks,)
 
+    # live x-chunks per (image, block): the block's bilinear taps span
+    # [floor(sx_min), floor(sx_max)+1]; a 128-lane chunk is live iff that
+    # span (±1 px slack for host/kernel f32 rounding drift) intersects it.
+    # Affine ⇒ extrema at the block's corner (i, j) pairs.
+    n_chunks = -(-src_w // XCHUNK)
+    sx = (s[:, None, None, None] * corners_i[None, :, :, None]
+          + t[:, None, None, None] * corners_j[None, None, None, :]
+          + u[:, None, None, None])  # (B, n_blocks, 2, 2)
+    tap_lo = jnp.floor(sx.min(axis=(2, 3))) - 1.0   # (B, n_blocks)
+    tap_hi = jnp.floor(sx.max(axis=(2, 3))) + 2.0
+    edges = jnp.arange(n_chunks, dtype=jnp.float32) * XCHUNK
+    widths = jnp.minimum(XCHUNK, src_w - edges)
+    xflags = ((tap_hi[..., None] >= edges)
+              & (tap_lo[..., None] < edges + widths)).astype(jnp.int32)
+    xflags = xflags.reshape(-1)  # (B * n_blocks * n_chunks,)
+
     # channel-plane layout (B, C*H, W); pixel data rides in compute dtype
     # (bf16 halves the per-program image block, int8 quarters it). Only real
     # channels get a plane — the kernel loops c < C, so C=3 does 25% less MXU
@@ -201,7 +263,7 @@ def warp_affine_batch_pallas(
         out_dtype=out_dtype,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B // ipp, n_blocks),
         in_specs=[
             pl.BlockSpec((ipp, C * src_h, src_w),
@@ -213,6 +275,7 @@ def warp_affine_batch_pallas(
             lambda bi, ci, *_: (bi, ci, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[pltpu.VMEM((4, rpb * ow), jnp.float32)],
     )
     out = pl.pallas_call(
         kernel,
@@ -221,7 +284,7 @@ def warp_affine_batch_pallas(
             (B, n_blocks, 4, rpb * ow), out_dtype
         ),
         interpret=interpret,
-    )(h0, coeffs.reshape(-1), imgs_p)
+    )(h0, coeffs.reshape(-1), xflags, imgs_p)
     out = jnp.transpose(out, (0, 1, 3, 2))  # (B, nb, rpb*ow, 4)
     return out.reshape(B, oh, ow, 4)[..., :C]
 

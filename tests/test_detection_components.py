@@ -214,3 +214,40 @@ def test_postprocess_batch_matches_per_image(rng):
                                    np.asarray(wb)[:nb], atol=1e-3)
         np.testing.assert_array_equal(np.asarray(bl[b])[:nb],
                                       np.asarray(wl)[:nb])
+
+
+def test_postprocess_batch_top1_fast_path(rng):
+    """detections_per_img=1 argmax fast path == the per-image sort+NMS path
+    (greedy NMS can never suppress the top-scored box, so the two agree
+    exactly, including the lowest-index tie-break)."""
+    import pets_face_recognition_tpu.models.roi_heads as rh_mod
+    from pets_face_recognition_tpu.models.roi_heads import (
+        postprocess_detections_batch,
+    )
+
+    B, N, C = 4, 24, 3
+    logits = jnp.asarray(rng.randn(B, N, C).astype(np.float32) * 2)
+    # duplicate a candidate row to exercise the tie-break
+    logits = logits.at[1, 5].set(logits[1, 3])
+    deltas = jnp.asarray(rng.randn(B, N, C, 4).astype(np.float32) * 0.1)
+    xy = rng.uniform(0, 50, (B, N, 2)).astype(np.float32)
+    wh = rng.uniform(8, 30, (B, N, 2)).astype(np.float32)
+    proposals = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    valid = jnp.asarray(rng.rand(B, N) > 0.1)
+
+    bb, bl, bs, bv = postprocess_detections_batch(
+        logits, deltas, proposals, valid, (96, 96), detections_per_img=1,
+    )
+    assert bb.shape == (B, 1, 4)
+    for b in range(B):
+        wb, wl, ws, wv = rh_mod.postprocess_detections(
+            logits[b], deltas[b], proposals[b], valid[b], (96, 96),
+            detections_per_img=1,
+        )
+        np.testing.assert_array_equal(np.asarray(bv[b]), np.asarray(wv))
+        if bool(np.asarray(wv)[0]):
+            np.testing.assert_allclose(np.asarray(bs[b]), np.asarray(ws),
+                                       atol=1e-6)
+            np.testing.assert_allclose(np.asarray(bb[b]), np.asarray(wb),
+                                       atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(bl[b]), np.asarray(wl))
