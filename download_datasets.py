@@ -43,7 +43,9 @@ PETFINDER_DOGS = tuple(
 
 
 def _download(url: str, dest: Path, md5: str | None = None) -> Path:
-    dest.parent.mkdir(parents=True, exist_ok=True)
+    # dest is the directory the archive lands in — create it, not its parent
+    # (a fresh ../pets_datasets has no per-dataset subdirs yet)
+    dest.mkdir(parents=True, exist_ok=True)
     name = url.split("/")[-1].split("?")[0]
     out = dest / name
     if not out.exists():

@@ -126,3 +126,31 @@ def test_data25_exclusion_list_and_petfinder_excludes(tmp_path, monkeypatch):
     assert not any(s.startswith(("48683845", "45528036")) for s in pf_written)
     assert "48009947/3.png" not in pf_written
     assert "48009947/3.jpg" not in pf_written
+
+
+def test_transform_dataset_cli_head_bbox(tmp_path, monkeypatch):
+    """Drive the transform_dataset.py CLI end-to-end with a stubbed pipeline
+    (arg parsing, pipelines-config load, pipeline dispatch, transform run)."""
+    import transform_dataset as td
+
+    src = tmp_path / "src"
+    _corpus(src)
+    out = tmp_path / "out"
+    cfg = tmp_path / "pipelines.py"
+    cfg.write_text("keypoint_pipeline = 'stub-kp'\nmask_pipeline = 'stub-mask'\n")
+
+    seen = {}
+
+    def fake_preproc6(loader, thr, serve_batch):
+        seen.update(loader=loader, thr=thr, serve_batch=serve_batch)
+        return StubPreproc()
+
+    monkeypatch.setattr(td, "Preproc6", fake_preproc6)
+    monkeypatch.setattr(sys, "argv", [
+        "transform_dataset.py", "--input", str(src), "--output", str(out),
+        "--pipeline", "head_bbox", "--pipelines-config", str(cfg),
+        "--batch-size", "4", "--thr", "0.8",
+    ])
+    td.main()
+    assert seen == dict(loader="stub-kp", thr=0.8, serve_batch=4)
+    assert 0 < len(_written(out)) < 10  # stub drop-set applied
