@@ -119,6 +119,8 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
 
         emb_vars = {"params": _resident_bf16(emb_vars["params"]),
                     **{k: v for k, v in emb_vars.items() if k != "params"}}
+        det_vars = {"params": _resident_bf16(det_vars["params"]),
+                    **{k: v for k, v in det_vars.items() if k != "params"}}
 
     # two jits: detector | align+embed — the single fused module serializes past
     # the remote compiler's request-size limit; the seam costs one dispatch and
