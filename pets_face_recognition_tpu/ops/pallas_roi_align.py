@@ -170,12 +170,21 @@ def multilevel_roi_align_pallas(
     Wy = Wy.astype(compute_dtype)  # (K, sy_n, w0y_max)
     Wx = Wx.astype(compute_dtype)  # (K, sx_n, w0x_max)
 
-    # One RoI per program: measured faster than chunking on v5e — @pl.when level
-    # branches are predicated (all levels execute), so chunking multiplies the
-    # dominant cost (the interpolation matmuls) without reducing it; per-program
-    # overhead is secondary. Level blocks are still re-used across a whole
-    # image's programs (their index map ignores the chunk index).
+    # RoIs per program: each program has a fixed ~3.6 µs floor (setup + block
+    # seams), so chunking several RoIs into one program amortizes it. The
+    # @pl.when level branch is a REAL branch when its condition is a
+    # scalar-prefetch SMEM read (measured via the warp kernel's chunk-skip:
+    # one active chunk runs ~1/3 the all-active cost), so each RoI in the
+    # chunk pays only its own level's matmuls. Level blocks are re-used
+    # across a whole image's programs (their index map ignores the chunk
+    # index). The chunk size is capped by the out-block VMEM budget (the
+    # (CH, sy_n, sx_n·C) f32 block is double-buffered).
+    out_block_bytes = 2 * sy_n * sx_n * C * 4
     CH = 1
+    for cand in (8, 4, 2):
+        if R % cand == 0 and cand * out_block_bytes <= 4 * 1024 * 1024:
+            CH = cand
+            break
     pad_r = (-R) % CH
     if pad_r:
         Wy = Wy.reshape(B, R, sy_n, w0y_max)

@@ -57,6 +57,24 @@ def test_pallas_roi_align_matches_xla(rng):
     assert np.abs(got16 - want).max() < 0.05
 
 
+def test_pallas_roi_align_chunked_rois_per_program(rng):
+    """R values that select CH=2 (R=6) and CH=1 (R=5) match the XLA path —
+    pins the multi-RoI-per-program chunking (R=8/CH=8 is covered above)."""
+    B = 2
+    feats = _pyramid(rng, B)
+    strides = (4, 8, 16, 32)
+    for per in (6, 5):
+        rois, bidx = _level_realistic_rois(rng, B, per)
+        want = np.asarray(multilevel_roi_align(
+            feats, jnp.asarray(rois), jnp.asarray(bidx), (7, 7), strides,
+        ))
+        got = np.asarray(multilevel_roi_align_pallas(
+            feats, jnp.asarray(rois), jnp.asarray(bidx), (7, 7), strides,
+            interpret=True, compute_dtype=jnp.float32,
+        ))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
 def test_pallas_roi_align_oob_rois(rng):
     """Partially out-of-range RoIs still agree (zero-padding rules)."""
     B = 1
