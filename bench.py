@@ -17,7 +17,7 @@ bfloat16 on the MXU with float32 params. Prints exactly one JSON line.
 
 Measured on this image's v5e (batch 128 @320px, 100 steady-state iters):
 mobile ≈ 5007 crops/s (chunk-skip int8 warp, top-1 postprocess fast path,
-rpn budgets 32/8, 8 imgs/program) — ≥ the 5000 target; resnet50 ≈ 1713
+rpn budgets 32/8, 8 imgs/program) — ≥ the 5000 target; resnet50 ≈ 1959
 crops/s. See PERF.md for the stage breakdown and kernel notes.
 """
 
