@@ -65,10 +65,14 @@ def build_pipelines(fe_ckpts: dict[str, tuple[str, str]]):
     cat_body_fe = _embedder_fn(*fe_ckpts["cat_body"])
     dog_body_fe = _embedder_fn(*fe_ckpts["dog_body"])
 
-    preproc3 = Preproc3(loader=pipelines.keypoint_pipeline,
+    # detection score threshold: reference hard-codes the Preproc defaults
+    # (0.9); PFR_RETRIEVAL_THR relaxes it for smoke-corpus drives where the
+    # synthetic detectors are honest-but-weak (production default unchanged)
+    thr = float(os.environ.get("PFR_RETRIEVAL_THR", 0.9))
+    preproc3 = Preproc3(loader=pipelines.keypoint_pipeline, thr=thr,
                         base_pts=np.array([[70, 92], [154, 92], [112, 160]]),
                         dsize=(224, 224, 3))
-    preproc4 = Preproc4(loader=pipelines.mask_pipeline)
+    preproc4 = Preproc4(loader=pipelines.mask_pipeline, thr=thr)
 
     def head_pipeline(img: np.ndarray, animal_type: int):
         """detect head → align → FE → 512-d vector, or None on failure

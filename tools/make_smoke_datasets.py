@@ -129,10 +129,17 @@ def make_oxford(root: Path, n_imgs: int = 40, size: int = 320,
     return base
 
 
-def _pet_image(rng: np.random.RandomState, size: int = 320) -> np.ndarray:
+def _pet_image(rng: np.random.RandomState, size: int = 320,
+               base: np.ndarray | None = None) -> np.ndarray:
     """Pet-like image with the eyes+nose structure the smoke keypoint detector
-    is trained on (same construction as :func:`make_cat_dataset`)."""
-    img = rng.randint(30, 120, (size, size, 3), np.uint8)
+    is trained on (same construction as :func:`make_cat_dataset`). ``base``
+    tints the background with a per-identity color signature so feature
+    extractors can rank same-identity cards together."""
+    if base is not None:
+        img = np.clip(base[None, None, :] + rng.normal(0, 20, (size, size, 3)),
+                      0, 255).astype(np.uint8)
+    else:
+        img = rng.randint(30, 120, (size, size, 3), np.uint8)
     cx, cy = rng.randint(size // 3, 2 * size // 3, 2)
     d = rng.randint(30, 60)
     pts = [(cx - d, cy), (cx + d, cy), (cx, cy + int(1.2 * d))]
@@ -195,6 +202,43 @@ def make_petfinder_extras(root: Path, n_cards: int = 3, n_imgs: int = 2,
     return dogs, cats
 
 
+def make_kashtanka_test(root: Path, n_pairs: int = 5, n_extra: int = 3,
+                        n_imgs: int = 2, seed: int = 5) -> Path:
+    """Kashtanka test split in the exact layout ``generate_tsv_to_reproduce*``
+    walks (reference ``generate_tsv_to_reproduce1.py:47-60``):
+    ``test/{found,lost}/{<same-name>,extra_*}/<card>/{card.json,*.jpg}`` with a
+    top-level ``{"animal": 1|2}`` card.json (1 = dog, 2 = cat — note this
+    schema differs from data_25's nested ``pet.animal``). ``n_pairs`` lost
+    query cards share a per-identity color signature with their found
+    counterpart so retrieval has true matches to rank; ``n_extra`` unmatched
+    cards per gallery act as distractors."""
+    rng = np.random.RandomState(seed)
+    out = root / "test"
+    bases = {}  # identity -> color signature
+
+    def _card(d: Path, animal: int, base: np.ndarray):
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "card.json").write_text('{"animal": %d}' % animal)
+        for j in range(n_imgs):
+            Image.fromarray(_pet_image(rng, base=base)).save(
+                d / f"{j}.jpg", quality=92)
+
+    # identity tints stay inside the smoke detector's training background
+    # range (make_cat_dataset: randint(30, 120)) so detection scores clear thr
+    for i in range(n_pairs):
+        bases[i] = rng.uniform(35, 115, 3)
+        animal = 1 + i % 2
+        _card(out / "found" / "found" / f"rf{700000 + i}", animal, bases[i])
+        _card(out / "lost" / "lost" / f"rl{800000 + i}", animal, bases[i])
+    for i in range(n_extra):
+        animal = 1 + i % 2
+        _card(out / "found" / "extra_found" / f"rf{710000 + i}", animal,
+              rng.uniform(35, 115, 3))
+        _card(out / "lost" / "extra_lost" / f"rl{810000 + i}", animal,
+              rng.uniform(35, 115, 3))
+    return out
+
+
 def main(root: str = "/tmp/pfr_smoke"):
     rootp = Path(root)
     print("fe:", make_fe(rootp))
@@ -202,6 +246,7 @@ def main(root: str = "/tmp/pfr_smoke"):
     print("oxford:", make_oxford(rootp))
     print("data_25:", make_data25(rootp))
     print("petfinder:", make_petfinder_extras(rootp))
+    print("kashtanka test:", make_kashtanka_test(rootp))
 
 
 if __name__ == "__main__":
