@@ -294,14 +294,16 @@ def _roi_kernel(lvl_ref, ys_ref, xs_ref, *refs, n_levels, w0ys, w0xs, widths,
 
 
 def _roi_bwd_level_kernel(lvl_ref, ys_ref, xs_ref, *refs, level, w0y, w0x,
-                          full_width, sy_n, sx_n, C, Rp):
+                          full_width, sy_n, sx_n, C, Rp, CH, n_chunks):
     """Backward for ONE pyramid level.
 
     Accumulates into an explicit VMEM scratch (single-buffered by construction —
     pipelined output blocks get double-buffered and overflow VMEM for the p2
     level) and DMAs the finished per-image gradient to HBM on the image's last
     program. TPU grids run sequentially on the core, so the accumulation is
-    race-free.
+    race-free. ``CH`` RoIs ride each program to amortize the ~3.6 µs program
+    floor (same result as the forward kernel's chunking: the ``@pl.when``
+    level branch on a scalar-prefetch condition is a real branch).
     """
     g_ref, wy_ref, wx_ref, out_hbm, acc, sem = refs
 
@@ -312,39 +314,40 @@ def _roi_bwd_level_kernel(lvl_ref, ys_ref, xs_ref, *refs, level, w0y, w0x,
     def _():
         acc[...] = jnp.zeros_like(acc)
 
-    k_idx = bi * Rp + ci
-    lvl = lvl_ref[k_idx]
-    ys = ys_ref[k_idx]
-    xs = xs_ref[k_idx]
+    for j in range(CH):
+        k_idx = bi * Rp + ci * CH + j
+        lvl = lvl_ref[k_idx]
+        ys = ys_ref[k_idx]
+        xs = xs_ref[k_idx]
 
-    @pl.when(lvl == level)
-    def _():
-        g = g_ref[0, 0]  # (sy_n, sx_n*C)
-        wy = wy_ref[0, 0]  # (sy_n, w0y_max)
-        wx = wx_ref[0, 0]  # (sx_n, w0x_max)
-        # T[h, (x c)] = sum_y wy[y, h] * g[y, (x c)]
-        t = jax.lax.dot_general(
-            wy[:, :w0y], g,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(w0y, sx_n, C)
-        # dwin[h, w, c] = sum_x wx[x, w] * T[h, x, c]
-        dwin = jax.lax.dot_general(
-            t, wx[:, :w0x],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (w0y, C, w0x)
-        dwin = jnp.transpose(dwin, (0, 2, 1))  # (w0y, w0x, C)
-        if full_width:
-            # the scratch may be w-padded to an 8 multiple for the HBM DMA
-            cur = acc[pl.ds(ys, w0y), :w0x, :]
-            acc[pl.ds(ys, w0y), :w0x, :] = cur + dwin
-        else:
-            xs8 = pl.multiple_of(xs, 8)
-            cur = acc[pl.ds(ys, w0y), pl.ds(xs8, w0x), :]
-            acc[pl.ds(ys, w0y), pl.ds(xs8, w0x), :] = cur + dwin
+        @pl.when(lvl == level)
+        def _(j=j, ys=ys, xs=xs):
+            g = g_ref[0, j]  # (sy_n, sx_n*C)
+            wy = wy_ref[0, j]  # (sy_n, w0y_max)
+            wx = wx_ref[0, j]  # (sx_n, w0x_max)
+            # T[h, (x c)] = sum_y wy[y, h] * g[y, (x c)]
+            t = jax.lax.dot_general(
+                wy[:, :w0y], g,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(w0y, sx_n, C)
+            # dwin[h, w, c] = sum_x wx[x, w] * T[h, x, c]
+            dwin = jax.lax.dot_general(
+                t, wx[:, :w0x],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (w0y, C, w0x)
+            dwin = jnp.transpose(dwin, (0, 2, 1))  # (w0y, w0x, C)
+            if full_width:
+                # the scratch may be w-padded to an 8 multiple for the HBM DMA
+                cur = acc[pl.ds(ys, w0y), :w0x, :]
+                acc[pl.ds(ys, w0y), :w0x, :] = cur + dwin
+            else:
+                xs8 = pl.multiple_of(xs, 8)
+                cur = acc[pl.ds(ys, w0y), pl.ds(xs8, w0x), :]
+                acc[pl.ds(ys, w0y), pl.ds(xs8, w0x), :] = cur + dwin
 
-    @pl.when(ci == Rp - 1)
+    @pl.when(ci == n_chunks - 1)
     def _():
         copy = pltpu.make_async_copy(acc, out_hbm.at[bi], sem)
         copy.start()
@@ -382,11 +385,22 @@ def _roi_backward(g, rois, feat_shapes, output_size, strides, sampling_ratio,
     # Streamed operands ride in bf16 (f32 accumulation in-kernel): the f32
     # per-image gradient blocks alone fill ~9 MB of VMEM and the f32 variant
     # overflows the 16 MB budget by a hair.
+    # RoIs per program (amortizes the program floor; see the forward kernel).
+    # The per-RoI cotangent block dominates the budget: (CH, sy_n, sx_n·C)
+    # in compute_dtype, double-buffered.
+    g_block_bytes = 2 * sy_n * sx_n * C * jnp.dtype(compute_dtype).itemsize
+    CH = 1
+    for cand in (8, 4, 2):
+        if R % cand == 0 and cand * g_block_bytes <= 2 * 1024 * 1024:
+            CH = cand
+            break
+    n_chunks = R // CH
+
     g_s = jnp.repeat(jnp.repeat(g.reshape(K, oh, 1, ow, 1, C), s, axis=2),
                      s, axis=4) / float(s * s)
-    g_s = g_s.reshape(B * R, 1, sy_n, sx_n * C).astype(compute_dtype)
-    Wy = Wy.reshape(B * R, 1, sy_n, w0y_max).astype(compute_dtype)
-    Wx = Wx.reshape(B * R, 1, sx_n, w0x_max).astype(compute_dtype)
+    g_s = g_s.reshape(B * n_chunks, CH, sy_n, sx_n * C).astype(compute_dtype)
+    Wy = Wy.reshape(B * n_chunks, CH, sy_n, w0y_max).astype(compute_dtype)
+    Wx = Wx.reshape(B * n_chunks, CH, sx_n, w0x_max).astype(compute_dtype)
 
     grads = []
     for i in range(n_levels):
@@ -396,19 +410,20 @@ def _roi_backward(g, rois, feat_shapes, output_size, strides, sampling_ratio,
         kernel = functools.partial(
             _roi_bwd_level_kernel, level=i, w0y=w0ys[i], w0x=w0xs[i],
             full_width=widths[i] <= w0xs[i], sy_n=sy_n, sx_n=sx_n, C=C, Rp=R,
+            CH=CH, n_chunks=n_chunks,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(B, R),
+            grid=(B, n_chunks),
             in_specs=[
-                pl.BlockSpec((1, 1, sy_n, sx_n * C),
-                             lambda bi, ci, *_: (bi * R + ci, 0, 0, 0),
+                pl.BlockSpec((1, CH, sy_n, sx_n * C),
+                             lambda bi, ci, *_: (bi * n_chunks + ci, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, sy_n, w0y_max),
-                             lambda bi, ci, *_: (bi * R + ci, 0, 0, 0),
+                pl.BlockSpec((1, CH, sy_n, w0y_max),
+                             lambda bi, ci, *_: (bi * n_chunks + ci, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, sx_n, w0x_max),
-                             lambda bi, ci, *_: (bi * R + ci, 0, 0, 0),
+                pl.BlockSpec((1, CH, sx_n, w0x_max),
+                             lambda bi, ci, *_: (bi * n_chunks + ci, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
