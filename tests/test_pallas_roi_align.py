@@ -101,7 +101,7 @@ def test_pallas_roi_align_gradients_match_xla(rng):
         multilevel_roi_align_pallas_diff,
     )
 
-    B, per = 2, 4
+    B, per = 2, 8  # R=8 selects CH=8 in both fwd and bwd chunked kernels
     feats = _pyramid(rng, B, C=8)
     rois, bidx = _level_realistic_rois(rng, B, per)
     strides = (4, 8, 16, 32)
