@@ -426,7 +426,7 @@ def _roi_backward(g, rois, feat_shapes, output_size, strides, sampling_ratio,
                              lambda bi, ci, *_: (bi * n_chunks + ci, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((heights[i], wp, C), jnp.float32),
                 pltpu.SemaphoreType.DMA,
