@@ -45,7 +45,11 @@ def prepare_table(preprocessor, data_root: Path, out_path: str | None = None):
             with suppress(AssertionError, ValueError, OSError):
                 image = np.array(Image.open(p).convert("RGB"))
                 bbox, score = preprocessor(image)
-                data.append((p.name, [bbox.tolist()], list(score)))
+                # plain python floats: numpy 2.x scalars repr as
+                # ``np.float32(x)`` which the scorer's literal_eval rejects
+                # (reference tsvs carry bare floats, score_detection.py:147)
+                data.append((p.name, [bbox.tolist()],
+                             [float(s) for s in score]))
         df = pd.DataFrame(data, columns=("query", "detections", "scores"))
         default = (
             "detected_body.tsv" if isinstance(preprocessor, Preproc4)
@@ -63,19 +67,25 @@ def main():
                         default=Path("configs/pipelines.py"),
                         help="config exposing keypoint_pipeline()/mask_pipeline()"
                              " factories returning jitted model_fns")
+    parser.add_argument("--thr", type=float, default=0.9,
+                        help="detection score threshold (reference default "
+                             "0.9; relax for smoke-corpus drives with weak "
+                             "synthetic detectors)")
     args = parser.parse_args()
 
     cfg = get_dict_wrapper(args.pipelines_config)
     prepare_table(
-        Preproc3(loader=cfg.keypoint_pipeline, base_pts=BASE_PTS,
+        Preproc3(loader=cfg.keypoint_pipeline, thr=args.thr, base_pts=BASE_PTS,
                  dsize=(224, 224, 3)),
         args.data.resolve(),
     )
     prepare_table(
-        Preproc4(loader=cfg.mask_pipeline, use_mask=True, mask_thr=0.7),
+        Preproc4(loader=cfg.mask_pipeline, thr=args.thr, use_mask=True,
+                 mask_thr=0.7),
         args.data.resolve(),
     )
-    prepare_table(Preproc6(loader=cfg.keypoint_pipeline), args.data.resolve())
+    prepare_table(Preproc6(loader=cfg.keypoint_pipeline, thr=args.thr),
+                  args.data.resolve())
 
 
 if __name__ == "__main__":
