@@ -31,6 +31,12 @@ def evaluate(preds, g_t, names):
         to_average.extend(nme)
     to_average = np.asarray(to_average)
     metrics["Length"] = len(to_average)
+    if not len(to_average):
+        # guard: a species group with no matched predictions (possible on
+        # smoke corpora) — the reference crashes here (np.quantile of an
+        # empty array, ref score_landmark.py:41-60); real data_25 always has
+        # both groups populated, so the defined surface is unchanged
+        return metrics
     metrics["NME"] = float(np.mean(to_average))
     lo, hi = np.quantile(to_average, 0.05), np.quantile(to_average, 0.95)
     metrics["NME 0.05 0.95"] = float(
