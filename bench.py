@@ -16,9 +16,10 @@ Weights are randomly initialized (throughput is weight-independent); compute is
 bfloat16 on the MXU with float32 params. Prints exactly one JSON line.
 
 Measured on this image's v5e (batch 128 @320px, 100 steady-state iters):
-mobile ≈ 5007 crops/s (chunk-skip int8 warp, top-1 postprocess fast path,
-rpn budgets 32/8, 8 imgs/program) — ≥ the 5000 target; resnet50 ≈ 1959
-crops/s. See PERF.md for the stage breakdown and kernel notes.
+mobile ≈ 5015 crops/s (chunk-skip int8 warp, top-1 postprocess fast path,
+rpn budgets 24/8, 8 imgs/program, torchvision-parity windowed bicubic
+keypoint decode) — ≥ the 5000 target; resnet50 ≈ 1944 crops/s. See PERF.md
+for the stage breakdown and kernel notes.
 """
 
 from __future__ import annotations
@@ -176,7 +177,7 @@ def main():
                         help="warp kernel MXU dtype (default int8: 2x MXU "
                              "rate, ~1%% pixel quantization — below JPEG "
                              "noise; bfloat16 for the 0.4%%-error path)")
-    parser.add_argument("--rpn-pre", type=int, default=32,
+    parser.add_argument("--rpn-pre", type=int, default=24,
                         help="RPN pre-NMS proposal budget (serving knob; "
                              "box_detections_per_img=1 keeps only the best "
                              "region, so single-pet serving loses nothing)")

@@ -15,6 +15,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..losses import cross_entropy, optax_sigmoid_ce, smooth_l1
 from ..ops.boxes import clip_boxes, decode_boxes, encode_boxes, pairwise_iou
@@ -373,21 +374,135 @@ def keypointrcnn_loss(kp_logits: jnp.ndarray, kp_targets: jnp.ndarray,
     return cross_entropy(flat, targets, weights=weights)
 
 
-def heatmaps_to_keypoints(kp_logits: jnp.ndarray, boxes: jnp.ndarray):
-    """Decode heatmaps → image-space keypoints + scores (torchvision
-    ``heatmaps_to_keypoints``: offset by +0.5 cell center, scores = logit at
-    argmax)."""
+def _bicubic_up_matrix(S: int, So: int) -> np.ndarray:
+    """(So, S) interpolation matrix matching torch ``F.interpolate`` bicubic:
+    a = -0.75 convolution kernel, ``align_corners=False`` source grid
+    ``src = (o + 0.5)·S/So − 0.5``, border-replicate taps (torch clamps tap
+    indices; weights of clamped taps accumulate on the border row)."""
+    a = -0.75
+
+    def k(t):
+        t = abs(float(t))
+        if t <= 1.0:
+            return (a + 2.0) * t ** 3 - (a + 3.0) * t ** 2 + 1.0
+        if t < 2.0:
+            return a * t ** 3 - 5.0 * a * t ** 2 + 8.0 * a * t - 4.0 * a
+        return 0.0
+
+    W = np.zeros((So, S), np.float32)
+    for o in range(So):
+        src = (o + 0.5) * S / So - 0.5
+        t0 = int(np.floor(src))
+        f = src - t0
+        for m in range(4):
+            j = t0 - 1 + m
+            W[o, min(max(j, 0), S - 1)] += k(f + 1.0 - m)
+    return W
+
+
+def heatmaps_to_keypoints(kp_logits: jnp.ndarray, boxes: jnp.ndarray,
+                          upsample: int = 4):
+    """Decode heatmaps → image-space keypoints + scores.
+
+    torchvision ``heatmaps_to_keypoints`` (≥0.12, the reference's pin)
+    bicubic-upsamples each RoI's heatmap to the *box-sized* grid
+    ``(ceil(h), ceil(w))`` before the argmax, then maps
+    ``x = (x_int + 0.5)·w/ceil(w) + x1``. A per-RoI output size is a dynamic
+    shape, so this static-shape version upsamples every map to the fixed
+    ``(upsample·S)²`` grid with the same bicubic kernel (a = −0.75,
+    ``align_corners=False``, border replicate) and applies the analogous
+    correction ``x = (x_int + 0.5)·w/(u·S) + x1``. Both grids sample the same
+    continuous bicubic surface: when ``ceil(w) == upsample·S`` (224-px boxes
+    at S=56, u=4 — the production head-crop regime) the decode is
+    torchvision-exact; otherwise the peak differs by at most ~one grid step
+    of each grid (≲1 px for 50–300 px boxes; pinned by
+    ``tests/test_eval_path_torch_parity.py::test_keypoint_decode_*``).
+    The previous nearest-cell decode quantized landmarks to w/56 ≈ 4 px —
+    a real drift vs the reference's alignment inputs.
+
+    Cost control: materializing the full (u·S)² upsample costs ~1.7 ms/batch
+    at serving sizes, so the decode is two-pass — nearest-cell argmax on the
+    S² grid, then the true bicubic values of a 16-cell output window around
+    it. The window is cell-aligned, so ONE fixed local matrix covers every
+    RoI (the per-window values are bit-identical to the full grid's:
+    replicate-padding the map by 2 cells reproduces torch's tap-index
+    clamping exactly, and the bicubic weight pattern is then
+    shift-invariant). Exact whenever the bicubic global max lies within
+    ±4 cells of the discrete max — true for the unimodal peaks CE-trained
+    keypoint heads produce (multi-peak near-ties are out of contract: the
+    landmark is ambiguous there for torchvision's global argmax too);
+    equivalence with torchvision's decode is pinned in the tests on
+    realistic peaked maps."""
     K, S, _, NK = kp_logits.shape
-    flat = kp_logits.transpose(0, 3, 1, 2).reshape(K, NK, S * S)
+    u = upsample
+    Su = u * S
+    cells = min(8, S)            # refine window: ±4 heatmap cells
+    taps = cells + 4             # bicubic support of the window's outputs
+    Wn = u * cells
+    maps = kp_logits.astype(jnp.float32)        # (K, S, S, NK)
+
+    # pass 1: nearest-cell peak on the coarse grid. Argmax rides the LAST
+    # (lane) axis: reducing over a 3136-long sublane axis with NK=3 lanes
+    # runs the VPU at 2% lane fill — the transposed copy is cheaper.
+    idx_c = jnp.argmax(
+        maps.transpose(0, 3, 1, 2).reshape(K, NK, S * S), axis=-1)  # (K, NK)
+    cy = (idx_c // S).astype(jnp.int32)
+    cx = (idx_c % S).astype(jnp.int32)
+
+    # pass 2: fixed local bicubic matrix on a cell-aligned window.
+    # U_local[i, j]: weight of padded-window row j for output u·wy0 + i —
+    # src_local = (i + 0.5)/u − 0.5 + 2 is wy0-independent, and its taps
+    # stay inside [0, taps) (replicate padding stands in for clamping).
+    a = -0.75
+
+    def _k(t):
+        t = abs(float(t))
+        if t <= 1.0:
+            return (a + 2.0) * t ** 3 - (a + 3.0) * t ** 2 + 1.0
+        if t < 2.0:
+            return a * t ** 3 - 5.0 * a * t ** 2 + 8.0 * a * t - 4.0 * a
+        return 0.0
+
+    Ul = np.zeros((Wn, taps), np.float32)
+    for i in range(Wn):
+        src = (i + 0.5) / u - 0.5 + 2.0
+        t0 = int(np.floor(src))
+        f = src - t0
+        for m in range(4):
+            Ul[i, t0 - 1 + m] += _k(f + 1.0 - m)
+    Ul = jnp.asarray(Ul)
+
+    wy0 = jnp.clip(cy - cells // 2, 0, S - cells)
+    wx0 = jnp.clip(cx - cells // 2, 0, S - cells)
+    padded = jnp.pad(maps, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="edge")
+    padded = padded.transpose(0, 3, 1, 2).reshape(K * NK, S + 4, S + 4)
+    # window extraction via one-hot MATMULS, not gathers: a vmap'd
+    # dynamic_slice lowers to a per-RoI gather that costs ~0.5 ms/batch on
+    # TPU; folding the window offset into the interpolation operands keeps
+    # everything on the MXU. Uy_b[b] = Ul shifted to start at column wy0[b].
+    cols = jnp.arange(S + 4, dtype=jnp.int32)
+    Oy = (cols[None, None, :]
+          == (wy0.reshape(-1)[:, None, None]
+              + jnp.arange(taps, dtype=jnp.int32)[None, :, None])
+          ).astype(jnp.float32)                    # (K·NK, taps, S+4)
+    Ox = (cols[None, None, :]
+          == (wx0.reshape(-1)[:, None, None]
+              + jnp.arange(taps, dtype=jnp.int32)[None, :, None])
+          ).astype(jnp.float32)
+    Uy_b = jnp.einsum("oj,bjc->boc", Ul, Oy)       # (K·NK, Wn, S+4)
+    Ux_b = jnp.einsum("pk,bkc->bpc", Ul, Ox)
+    win = jnp.einsum("boc,bcd->bod", Uy_b, padded)  # (K·NK, Wn, S+4)
+    win = jnp.einsum("bod,bpd->bop", win, Ux_b)     # (K·NK, Wn, Wn)
+    flat = win.reshape(K, NK, Wn * Wn)
     idx = jnp.argmax(flat, axis=-1)
     scores = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
-    yy = (idx // S).astype(jnp.float32)
-    xx = (idx % S).astype(jnp.float32)
+    yy = ((idx // Wn) + u * wy0).astype(jnp.float32)
+    xx = ((idx % Wn) + u * wx0).astype(jnp.float32)
 
     x1, y1 = boxes[:, 0:1], boxes[:, 1:2]
     w = jnp.maximum(boxes[:, 2:3] - boxes[:, 0:1], 1e-6)
     h = jnp.maximum(boxes[:, 3:4] - boxes[:, 1:2], 1e-6)
-    x = (xx + 0.5) * w / S + x1
-    y = (yy + 0.5) * h / S + y1
+    x = (xx + 0.5) * w / Su + x1
+    y = (yy + 0.5) * h / Su + y1
     vis = jnp.ones_like(scores)
     return jnp.stack([x, y, vis], axis=-1), scores

@@ -417,3 +417,136 @@ def test_composed_eval_chain_parity():
         np.testing.assert_allclose(np.asarray(os_)[:m], rs.numpy(), atol=2e-5)
         np.testing.assert_array_equal(np.asarray(ol)[:m], rl.numpy())
         np.testing.assert_allclose(np.asarray(ob)[:m], rb.numpy(), atol=1e-3)
+
+
+# --------------------------------------------------------------------------- #
+# Keypoint heatmap decode vs torchvision >= 0.12 semantics
+# --------------------------------------------------------------------------- #
+
+
+def _tv_heatmaps_to_keypoints(maps: torch.Tensor, rois: torch.Tensor):
+    """Replica of torchvision>=0.12 ``heatmaps_to_keypoints`` (the reference's
+    pin): per-RoI bicubic upsample to the box-sized ``(ceil(h), ceil(w))``
+    grid (``F.interpolate`` a=-0.75, align_corners=False), argmax, then
+    ``(x_int + 0.5) * w / ceil(w) + x1``; scores = map value at the argmax."""
+    offset_x = rois[:, 0]
+    offset_y = rois[:, 1]
+    widths = (rois[:, 2] - rois[:, 0]).clamp(min=1)
+    heights = (rois[:, 3] - rois[:, 1]).clamp(min=1)
+    widths_ceil = widths.ceil()
+    heights_ceil = heights.ceil()
+    num_keypoints = maps.shape[1]
+    xy_preds = torch.zeros((len(rois), 3, num_keypoints), dtype=torch.float32)
+    end_scores = torch.zeros((len(rois), num_keypoints), dtype=torch.float32)
+    for i in range(len(rois)):
+        roi_map_width = int(widths_ceil[i].item())
+        roi_map_height = int(heights_ceil[i].item())
+        width_correction = widths[i] / roi_map_width
+        height_correction = heights[i] / roi_map_height
+        roi_map = torch.nn.functional.interpolate(
+            maps[i][:, None], size=(roi_map_height, roi_map_width),
+            mode="bicubic", align_corners=False)[:, 0]
+        w = roi_map.shape[2]
+        pos = roi_map.reshape(num_keypoints, -1).argmax(dim=1)
+        x_int = pos % w
+        y_int = torch.div(pos - x_int, w, rounding_mode="floor")
+        x = (x_int.float() + 0.5) * width_correction
+        y = (y_int.float() + 0.5) * height_correction
+        xy_preds[i, 0, :] = x + offset_x[i]
+        xy_preds[i, 1, :] = y + offset_y[i]
+        xy_preds[i, 2, :] = 1
+        end_scores[i, :] = roi_map[
+            torch.arange(num_keypoints), y_int.long(), x_int.long()]
+    return xy_preds.permute(0, 2, 1), end_scores
+
+
+def _smooth_heatmaps(rng, K, S=56, NK=3):
+    """Realistic keypoint heatmaps: one dominant gaussian peak per map plus
+    mild noise — the unimodal regime CE-trained keypoint heads produce (the
+    windowed decode's contract; flat multi-peak near-tie maps are ambiguous
+    for torchvision's global argmax too)."""
+    yy, xx = np.mgrid[:S, :S].astype(np.float32)
+    maps = np.empty((K, NK, S, S), np.float32)
+    for k in range(K):
+        for n in range(NK):
+            cy, cx = rng.uniform(4, S - 4, 2)
+            sig = rng.uniform(1.5, 4.0)
+            peak = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig ** 2))
+            maps[k, n] = 8.0 * peak + 0.3 * rng.randn(S, S)
+    return torch.from_numpy(maps)
+
+
+def test_keypoint_decode_exact_at_224_boxes(rng):
+    """When ceil(box) == upsample*S (224-px boxes at S=56, u=4) the static
+    grid IS torchvision's grid: decode must match exactly."""
+    K = 6
+    maps = _smooth_heatmaps(rng, K)
+    boxes = []
+    for _ in range(K):
+        # dyadic offsets keep w = (x1 + 224) - x1 EXACTLY 224 in float32;
+        # otherwise w rounds to 224.000015, torchvision ceils to a 225-wide
+        # grid, and the comparison is no longer grid-identical
+        x1, y1 = np.round(rng.uniform(0, 90, 2) * 8) / 8
+        boxes.append([x1, y1, x1 + 224.0, y1 + 224.0])
+    boxes_t = torch.tensor(boxes, dtype=torch.float32)
+
+    want_xy, want_s = _tv_heatmaps_to_keypoints(maps, boxes_t)
+    got_xy, got_s = rh.heatmaps_to_keypoints(
+        jnp.asarray(maps.permute(0, 2, 3, 1).numpy()),
+        jnp.asarray(np.asarray(boxes, np.float32)))
+    np.testing.assert_allclose(np.asarray(got_xy), want_xy.numpy(),
+                               atol=1e-3, rtol=0)
+    np.testing.assert_allclose(np.asarray(got_s), want_s.numpy(),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_keypoint_decode_close_on_arbitrary_boxes(rng):
+    """Arbitrary box sizes sample the same continuous bicubic surface on a
+    different grid: peaks must agree within ~one grid step of each grid."""
+    K = 16
+    maps = _smooth_heatmaps(rng, K)
+    boxes = []
+    for _ in range(K):
+        w, h = rng.uniform(50, 300, 2)
+        x1, y1 = rng.uniform(0, 20, 2)
+        boxes.append([x1, y1, x1 + w, y1 + h])
+    boxes_t = torch.tensor(boxes, dtype=torch.float32)
+
+    want_xy, _ = _tv_heatmaps_to_keypoints(maps, boxes_t)
+    got_xy, _ = rh.heatmaps_to_keypoints(
+        jnp.asarray(maps.permute(0, 2, 3, 1).numpy()),
+        jnp.asarray(np.asarray(boxes, np.float32)))
+    err = np.abs(np.asarray(got_xy)[..., :2] - want_xy.numpy()[..., :2])
+    # grid-step bound: torchvision step = w/ceil(w) ~ 1px, ours = w/224
+    wh = np.asarray(boxes, np.float32)[:, None, 2:] \
+        - np.asarray(boxes, np.float32)[:, None, :2]
+    bound = 0.75 * (1.0 + wh / 224.0)
+    assert (err <= bound).mean() > 0.95, (err.max(), err.mean())
+    assert err.mean() < 1.0, err.mean()
+
+
+def test_keypoint_decode_window_matches_full_grid(rng):
+    """The cell-aligned windowed refine returns the same coords/scores as a
+    full (u·S)² upsample whenever the bicubic global max is within the
+    window — the decode's stated contract (and the replicate-pad trick's
+    bit-exactness)."""
+    from pets_face_recognition_tpu.models.roi_heads import _bicubic_up_matrix
+
+    K, S, NK, u = 5, 56, 3, 4
+    maps = _smooth_heatmaps(rng, K, S=S, NK=NK).numpy()
+    boxes = np.asarray([[3.0, 5.0, 3.0 + 224.0, 5.0 + 224.0]] * K, np.float32)
+
+    got_xy, got_s = rh.heatmaps_to_keypoints(
+        jnp.asarray(maps.transpose(0, 2, 3, 1)), jnp.asarray(boxes))
+
+    U = _bicubic_up_matrix(S, u * S)
+    for k in range(K):
+        for n in range(NK):
+            up = U @ maps[k, n] @ U.T
+            yi, xi = np.unravel_index(up.argmax(), up.shape)
+            want_x = (xi + 0.5) * 224.0 / (u * S) + boxes[k, 0]
+            want_y = (yi + 0.5) * 224.0 / (u * S) + boxes[k, 1]
+            np.testing.assert_allclose(
+                np.asarray(got_xy)[k, n, :2], [want_x, want_y], atol=1e-4)
+            np.testing.assert_allclose(
+                np.asarray(got_s)[k, n], up[yi, xi], atol=1e-4, rtol=1e-5)
