@@ -3,10 +3,13 @@
 Behavioral rebuild of ``/root/reference/score_detection.py``: reads a prediction
 ``.tsv`` (columns ``query, detections, scores``), matches greedily against the
 ``data_25_anno.pickle`` annotations at IoU thresholds {0.5, 0.7, 0.75, 0.9}, and
-prints AP per species/mode plus the matched-IoU mean. The tsv interface is the
-behavioral test surface of the whole stack (SURVEY.md §4.3), so the matching code
-reproduces the reference algorithm exactly — including visiting predictions in
-stored order and consuming matched GT boxes.
+prints AP per species/mode plus the reference's ``IoU`` line. The tsv interface
+is the behavioral test surface of the whole stack (SURVEY.md §4.3), so the
+matching code reproduces the reference algorithm exactly — including visiting
+predictions in stored order, consuming matched GT boxes, and the reference's
+``ious``-rebinding quirk (see ``evaluate``); bit-parity is pinned against the
+real reference code + real ``data_25_anno.pickle`` in
+``tests/test_scorer_reference_parity.py``.
 
 CLI: ``python score_detection.py --path detected_head.tsv --ds data_25 --mode Head``
 (argparse instead of ``fire``, which is not available in this image; positional
@@ -73,11 +76,22 @@ def intersection_over_union(dt_bbox, gt_bbox):
 
 
 def evaluate(preds, scores, g_t):
-    """Greedy AP at fixed thresholds + matched IoU mean
-    (ref ``score_detection.py:61-102``, including the quirk that the reported
-    ``IoU`` accumulates only during the thr=0.5 pass)."""
+    """Greedy AP at fixed thresholds + the reference's ``IoU`` metric
+    (ref ``score_detection.py:61-102``), reproduced exactly.
+
+    NOTE on the ``IoU`` value (behavioral quirk, kept for tsv-contract
+    parity — verified bit-identical against the reference code on the real
+    ``data_25_anno.pickle`` in ``tests/test_scorer_reference_parity.py``):
+    the reference initializes an ``ious = []`` accumulator but then REBINDS
+    ``ious`` to each prediction's per-GT IoU list inside the loop (ref
+    ``score_detection.py:63,76,86,89``), so the thr=0.5 appends land on
+    per-prediction lists that are immediately discarded. The printed ``IoU``
+    is therefore ``mean`` of the LAST processed prediction's IoUs against its
+    image's remaining GT boxes during the LAST (thr=0.9) pass — effectively
+    the last image's IoU, ``nan`` when there are no predictions at all.
+    """
     metrics = {}
-    matched_ious = []
+    ious = []
     for thr in (0.5, 0.7, 0.75, 0.9):
         results = []
         remaining = [list(map(list, g)) for g in g_t]
@@ -98,22 +112,24 @@ def evaluate(preds, scores, g_t):
                     results[-1]["TP"] = 1
                     del remaining[j][max_gt_id]
                     if thr == 0.5:
-                        matched_ious.append(max_iou)
+                        ious.append(max_iou)
                 else:
                     results[-1]["TP"] = 0
                     if thr == 0.5:
-                        matched_ious.append(0)
+                        ious.append(0)
         results = sorted(results, key=lambda k: k["score"], reverse=True)
         flags = [r["TP"] for r in results]
         svals = [r["score"] for r in results]
         if not flags:
             ap = 0.0
         elif all(f == flags[0] for f in flags):
+            # sklearn returns exactly float(flags[0]) here too; special-cased
+            # only to avoid its single-class warning spam
             ap = float(flags[0])
         else:
             ap = float(average_precision_score(flags, svals))
         metrics[f"AP at {thr}"] = ap
-    metrics["IoU"] = float(np.mean(matched_ious)) if matched_ious else 0.0
+    metrics["IoU"] = float(np.mean(ious)) if ious else float("nan")
     return metrics
 
 
