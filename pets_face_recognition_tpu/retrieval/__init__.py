@@ -244,9 +244,13 @@ def calc_scores(
     """
     if dim is None:
         dim = infer_dim(list(init_cards) + list(extra_cards))
-    rows = []
+    # rows are emitted in init_cards order (the reference iterates
+    # ``init_db.items()`` directly, ref ``:92``), even though scoring is
+    # batched per animal type here
+    rows_by_pos: dict[int, tuple] = {}
     for animal_type in sorted({c.type for c in init_cards}):
-        q_cards = [c for c in init_cards if c.type == animal_type]
+        q_pos = [i for i, c in enumerate(init_cards) if c.type == animal_type]
+        q_cards = [init_cards[i] for i in q_pos]
         g_cards = [c for c in extra_cards if c.type == animal_type]
         if not q_cards or not g_cards:
             continue
@@ -259,10 +263,12 @@ def calc_scores(
             head_scores, body_scores, qhh, ghh, qhb, ghb, animal_type
         )
         g_names = [c.name for c in g_cards]
-        for c, row in zip(q_cards, topk_rows(scores, include, g_names, k)):
+        for pos, c, row in zip(
+            q_pos, q_cards, topk_rows(scores, include, g_names, k)
+        ):
             if row is not None:
-                rows.append((c.name, *row))
-    return rows
+                rows_by_pos[pos] = (c.name, *row)
+    return [rows_by_pos[i] for i in sorted(rows_by_pos)]
 
 
 def create_table(db: dict[Any, tuple[list[CardRecord], list[CardRecord]]],

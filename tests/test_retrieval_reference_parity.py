@@ -1,0 +1,163 @@
+"""Differential parity: our retrieval scoring vs the REAL reference code.
+
+`/root/reference/generate_tsv_to_reproduce1.py`'s scoring chain
+(``similarity_f`` → ``mean_strategy_cal_scores`` → ``calc_scores`` →
+``create_table``, ref ``:63-141``) runs on CPU torch, which is available in
+this image — its heavy imports (engine / preprocessor / utils) are only used
+by the model-loading ``main()`` and are stubbed at import time.
+
+Feeding identical synthetic embedding DBs to both implementations pins the
+entire redesigned surface: the centroid-matmul equivalence (mean-pair cosine
+== centroid dot), the per-species ensemble fallback expression with its exact
+thresholds, the include/skip rule, stable descending sort tie-breaking on
+gallery insertion order, the matched_1/3/10 aggregation, the top-100 answer
+join, and the tsv row order (reference iterates init_db insertion order).
+
+Tolerances: the reference computes per-pair ``F.cosine_similarity`` then
+means; we compute one dot of normalized-embedding centroids — identical math,
+different float32 rounding, so matched_* compare at 1e-5 and rank strings
+exactly (random gaussian scores are never within float noise of each other).
+"""
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+
+from pets_face_recognition_tpu.retrieval import CardRecord, create_table
+
+REF_SCRIPT = Path("/root/reference/generate_tsv_to_reproduce1.py")
+
+pytestmark = pytest.mark.skipif(
+    not REF_SCRIPT.exists(), reason="reference script not present"
+)
+
+
+def _load_ref_module():
+    """Import the reference script with its model-stack imports stubbed."""
+    saved = {}
+    stubs = {
+        "engine": {"Controller": object},
+        "preprocessor": {"Preproc3": object, "Preproc4": object},
+        "utils": {"get_dict_wrapper": lambda *a, **k: None},
+        "utils.preprocs": {"resize_with_padding": lambda *a, **k: None},
+    }
+    for name, attrs in stubs.items():
+        saved[name] = sys.modules.get(name)
+        mod = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_generate_tsv_to_reproduce1", REF_SCRIPT
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for name, old in saved.items():
+            if old is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = old
+    return mod
+
+
+def _synth_db(seed: int):
+    """Reference-shaped db: {found: (init, extra), lost: (init, extra)} of
+    Path -> {'type', 'head_vectors', 'body_vectors'} with torch vectors.
+
+    Covers: both modalities, head-only, body-only cards; 1–3 images per card;
+    interleaved animal types (so row-order parity is actually exercised);
+    >=10 same-type both-modality gallery cards per type (the reference
+    IndexErrors below 10 matches, ref ``:116-117`` — out of contract).
+    """
+    rng = np.random.RandomState(seed)
+
+    def vecs(n):
+        return [torch.tensor(rng.randn(512), dtype=torch.float32)
+                for _ in range(n)]
+
+    def card(i, base, kind):
+        type_ = 1 + (i % 2)  # interleave dog/cat
+        n_img = 1 + rng.randint(3)
+        head = vecs(n_img) if kind in ("both", "head") else []
+        body = vecs(n_img) if kind in ("both", "body") else []
+        return Path(f"/fake/{base}/{base}_{i}"), {
+            "type": type_, "head_vectors": head, "body_vectors": body,
+        }
+
+    def base_dict(base, n, kinds):
+        d = {}
+        for i in range(n):
+            kind = kinds[i % len(kinds)] if i >= 24 else "both"
+            k, v = card(i, base, kind)
+            d[k] = v
+        return d
+
+    db = {}
+    for big in ("found", "lost"):
+        init = base_dict(f"{big}_init", 14, ("both", "head", "body"))
+        extra = base_dict(f"{big}_extra", 34, ("both", "head", "body", "both"))
+        db[Path(f"/fake/{big}")] = (init, extra)
+    return db
+
+
+def _to_card_records(base_dict):
+    records = []
+    for path, v in base_dict.items():
+        head = [t.numpy() for t in v["head_vectors"]]
+        body = [t.numpy() for t in v["body_vectors"]]
+        records.append(CardRecord(
+            name=str(path.name), type=v["type"],
+            head_vectors=np.stack(head) if head else np.zeros((0, 512)),
+            body_vectors=np.stack(body) if body else np.zeros((0, 512)),
+        ))
+    return records
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_create_table_matches_reference(seed):
+    ref = _load_ref_module()
+    db = _synth_db(seed)
+
+    df_ref = ref.create_table(db)
+    db_mine = {k: (_to_card_records(i), _to_card_records(e))
+               for k, (i, e) in db.items()}
+    df_mine = create_table(db_mine)
+
+    assert list(df_ref.columns) == list(df_mine.columns)
+    assert len(df_ref) == len(df_mine), (len(df_ref), len(df_mine))
+    # row order parity: the reference emits init_db insertion order
+    assert list(df_ref["query"]) == list(df_mine["query"])
+    for col in ("matched_1", "matched_3", "matched_10"):
+        np.testing.assert_allclose(
+            df_ref[col].to_numpy(float), df_mine[col].to_numpy(float),
+            rtol=0, atol=1e-5, err_msg=col,
+        )
+    # rank parity: full top-100 answer lists identical
+    assert list(df_ref["answer"]) == list(df_mine["answer"])
+
+
+def test_mean_strategy_equals_centroid_dot():
+    """The closed-form core: mean-pair (cos+1)/2 == centroid dot, vs the
+    reference's own torch implementation."""
+    ref = _load_ref_module()
+    rng = np.random.RandomState(3)
+    v1 = [torch.tensor(rng.randn(512), dtype=torch.float32) for _ in range(5)]
+    v2 = [torch.tensor(rng.randn(512), dtype=torch.float32) for _ in range(7)]
+    ref_score = ref.mean_strategy_cal_scores(v1, v2)
+
+    from pets_face_recognition_tpu.retrieval import (
+        build_card_matrix, pairwise_card_scores,
+    )
+    c1 = CardRecord("a", 1, np.stack([t.numpy() for t in v1]), np.zeros((0, 512)))
+    c2 = CardRecord("b", 1, np.stack([t.numpy() for t in v2]), np.zeros((0, 512)))
+    qh, _, _, _, _ = build_card_matrix([c1], 512)
+    gh, _, _, _, _ = build_card_matrix([c2], 512)
+    ours = pairwise_card_scores(qh, gh)[0, 0]
+    assert abs(ref_score - ours) < 1e-6
