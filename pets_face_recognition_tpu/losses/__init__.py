@@ -53,11 +53,14 @@ class SoftmaxBasedMetricLearning(nn.Module):
     emb_size: int = 512
     num_classes: int = 1000
     margin_type: Literal["arc", "add"] = "arc"
-    s: float = 30.0
+    # reference wrapper defaults (ref ``losses/__init__.py:13-16``): s=64.0;
+    # and its FocalLoss defaults to gamma=0 (ref ``losses/losses.py:8``) with
+    # no config overriding it — the production "focal" loss is plain CE
+    s: float = 64.0
     m: float = 0.5
     easy_margin: bool = False
     use_focal: bool = True
-    focal_gamma: float = 2.0
+    focal_gamma: float = 0.0
 
     @nn.compact
     def __call__(self, x, labels: jnp.ndarray | None = None, train: bool = False,

@@ -22,20 +22,26 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     return nll.mean()
 
 
-def focal_loss(logits: jnp.ndarray, labels: jnp.ndarray, gamma: float = 2.0,
+def focal_loss(logits: jnp.ndarray, labels: jnp.ndarray, gamma: float = 0.0,
                alpha: jnp.ndarray | None = None,
                weights: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Focal loss: ``(1 - p_t)^gamma * (-log p_t)``, optional per-class alpha.
+    """Focal loss: ``(1 - p_t)^gamma * (-log p_t)``, optional learnable
+    per-class alpha.
 
-    Matches the reference formulation (softmax focal over margin-head logits,
-    ``losses/losses.py:22-28``).
+    Matches the reference formulation exactly (``losses/losses.py:22-28``):
+    ``gamma`` defaults to 0 (the production configs never override it, so the
+    reference's "focal" is plain CE), and ``alpha`` SCALES THE LOGITS before
+    the cross entropy (``input = self.alpha * input``, ref ``:24``) — it is a
+    per-class logit temperature, not a loss weight. Oracle-pinned against the
+    reference torch module in ``tests/test_losses_reference_parity.py``.
     """
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logits = logits.astype(jnp.float32)
+    if alpha is not None:
+        logits = logits * alpha[None, :]
+    logp = jax.nn.log_softmax(logits, axis=-1)
     logp_t = jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     p_t = jnp.exp(logp_t)
     loss = -((1.0 - p_t) ** gamma) * logp_t
-    if alpha is not None:
-        loss = loss * alpha[labels]
     if weights is not None:
         return jnp.sum(loss * weights) / jnp.maximum(jnp.sum(weights), 1e-8)
     return loss.mean()
@@ -43,9 +49,10 @@ def focal_loss(logits: jnp.ndarray, labels: jnp.ndarray, gamma: float = 2.0,
 
 class FocalLoss(nn.Module):
     """Module form with optionally learnable per-class alpha (reference
-    ``losses/losses.py:7-20`` makes alpha an ``nn.Parameter`` when requested)."""
+    ``losses/losses.py:7-20`` makes alpha an ``nn.Parameter``, init ones,
+    when requested; it multiplies the logits before CE)."""
 
-    gamma: float = 2.0
+    gamma: float = 0.0
     num_classes: int = 0
     learnable_alpha: bool = False
 
