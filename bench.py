@@ -137,10 +137,16 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
     @jax.jit
     def align_embed(imgs, kps):
         base = jnp.broadcast_to(base_pts, (imgs.shape[0], 3, 2))
-        src4 = jnp.concatenate([kps.mean(axis=1, keepdims=True), kps], axis=1)
-        dst4 = jnp.concatenate([base.mean(axis=1, keepdims=True), base], axis=1)
+        # production align() semantics: landmarks rounded to the int grid
+        # (ref preprocessor/__init__.py:181), both prepended centroids rounded
+        # (ref preprocessor/align.py:8-9) — the resulting homography is
+        # slightly PROJECTIVE; the Pallas kernel's rational divide handles it
+        kps = jnp.round(kps)
+        src4 = jnp.concatenate([jnp.round(kps.mean(axis=1, keepdims=True)),
+                                kps], axis=1)
+        dst4 = jnp.concatenate([jnp.round(base.mean(axis=1, keepdims=True)),
+                                base], axis=1)
         Hs = solve_homography(src4, dst4)
-        Hs = Hs.at[:, 2, 0].set(0.0).at[:, 2, 1].set(0.0)
         # band narrows the warp kernel's static y-band (MXU work is
         # proportional): 96 admits rotations to ~±13deg at alignment scale,
         # clamping gracefully beyond. int8 warp mode: 2x MXU rate, ~0.6% pixel

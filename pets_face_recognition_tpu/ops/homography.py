@@ -263,24 +263,31 @@ def align_crop(
     base = jnp.broadcast_to(
         jnp.asarray(base_pts, jnp.float32), (images.shape[0], 3, 2)
     )
-    src4 = jnp.concatenate([landmarks.mean(axis=1, keepdims=True), landmarks], axis=1)
-    dst4 = jnp.concatenate([base.mean(axis=1, keepdims=True), base], axis=1)
+    # The reference ROUNDS both prepended centroids to ints
+    # (``np.round(np.mean(pts, axis=0)).astype(int)``, ref
+    # ``preprocessor/align.py:8-9``; np.round == jnp.round == half-to-even).
+    # With rounded centroids the 4 correspondences are no longer
+    # affine-consistent, so the exact 4-point homography picks up small
+    # perspective terms (~1e-4) whose effect is amplified by extrapolation to
+    # the 224² crop — up to ~tens of source px near crop corners (measured).
+    # The reference's training corpora, README numbers, and tsv ranks were all
+    # produced by this projective warp, so crop parity requires reproducing it
+    # exactly: rounded centroids, full homography, projective warp.
+    src4 = jnp.concatenate(
+        [jnp.round(landmarks.mean(axis=1, keepdims=True)), landmarks], axis=1
+    )
+    dst4 = jnp.concatenate(
+        [jnp.round(base.mean(axis=1, keepdims=True)), base], axis=1
+    )
     Hs = solve_homography(src4, dst4)
-    # Because the 4th correspondence is the centroid of the other 3 on BOTH
-    # sides, the exact 4-point homography has zero perspective terms (an affine
-    # map preserves centroids and the non-degenerate 4-point homography is
-    # unique) — solve_homography returns perspective entries at float-noise
-    # level (~1e-6). Project to exact affine and use the two-pass warp, whose
-    # axis-aligned gathers are an order of magnitude faster on TPU than the
-    # flat random-access gather of the projective path.
-    Hs = Hs.at[:, 2, 0].set(0.0).at[:, 2, 1].set(0.0)
     if jax.default_backend() != "cpu" and dsize[0] % 8 == 0:
         # gather-free Pallas kernel: exact 4-corner bilinear (~20x faster than
-        # the XLA gather lowering on v5e)
+        # the XLA gather lowering on v5e); handles the projective terms with
+        # one rational divide per row block
         from .pallas_warp import warp_affine_batch_pallas
 
         return warp_affine_batch_pallas(images, Hs, tuple(dsize),
                                         compute_dtype=compute_dtype)
-    return jax.vmap(lambda im, h: warp_affine_two_pass(im, h, dsize))(
+    return jax.vmap(lambda im, h: warp_perspective(im, h, dsize))(
         images.astype(jnp.float32), Hs
     )

@@ -16,9 +16,15 @@ computes the exact 4-corner bilinear warp with **no gathers**:
   expand matmuls (their M/N=4 skinny shapes pad 32× on the 128×128 MXU and
   were ~40% of the MXU-equivalents of the previous lane-folded design).
 
-Semantics: ``out[i, j] = img[p·i + q·j + r, s·i + t·j + u]`` bilinear,
-BORDER_CONSTANT zero — identical to ``warp_perspective`` for affine H (which the
-centroid-augmented alignment homography always is; see ``homography.align_crop``).
+Semantics: full projective inverse warp — ``out[i, j]`` bilinearly samples the
+source at ``((s·i + t·j + u)/d, (p·i + q·j + r)/d)`` with
+``d = wi·i + wj·j + 1``, BORDER_CONSTANT zero — identical to
+``warp_perspective`` / cv2. The rational divide is one (1, R) reciprocal per
+row block, negligible next to the tent construction; affine maps pass
+``wi = wj = 0``. (Projective support matters for parity: the reference's
+``align()`` ROUNDS the prepended centroids to ints, ref
+``preprocessor/align.py:8-9``, which makes the exact 4-point homography
+slightly projective — see ``homography.align_crop``.)
 
 Limit: the y-band per ``rpb``-row block is static (``BAND`` rows). Rotations
 with ``|q|·out_w + rpb·|p| + 9 > BAND`` clamp (gracefully — only the crop's
@@ -74,11 +80,18 @@ def _warp_kernel(h0_ref, coeff_ref, xflags_ref, img_ref, out_ref, acc_ref, *,
         s = coeff_ref[bi * 8 + 3]
         t = coeff_ref[bi * 8 + 4]
         u = coeff_ref[bi * 8 + 5]
+        wj = coeff_ref[bi * 8 + 6]   # perspective terms (Minv row 2,
+        wi = coeff_ref[bi * 8 + 7]   # normalized so the constant is 1)
         h0 = h0_ref[bi * n_blocks + blk]
 
-        # output pixels ride LANES, interpolation grids ride SUBLANES
-        sx = t * jf + (s * i + u)                              # (1, R)
-        sy = q * jf + (p * i + r)
+        # output pixels ride LANES, interpolation grids ride SUBLANES.
+        # Projective sampling: one rational divide per pixel — a (1, R)
+        # reciprocal + 3 fmas on top of the affine grids, negligible next to
+        # the tent construction. Affine maps pass wj = wi = 0 (d == 1).
+        d = wj * jf + (wi * i + 1.0)
+        inv_d = 1.0 / d
+        sx = (t * jf + (s * i + u)) * inv_d                    # (1, R)
+        sy = (q * jf + (p * i + r)) * inv_d
         rel = sy - h0.astype(jnp.float32)
         mT = jnp.maximum(0.0, 1.0 - jnp.abs(yb - rel))
 
@@ -146,13 +159,14 @@ def warp_affine_batch_pallas(
     imgs_per_program: int = 8,
     out_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Batched affine inverse warp: ``(B, H, W, C<=4) × (B, 3, 3) → (B, oh, ow, C)``.
+    """Batched projective inverse warp: ``(B, H, W, C<=4) × (B, 3, 3) → (B, oh, ow, C)``.
 
-    ``H`` must be affine (perspective row ``[0, 0, 1]``); the caller projects the
-    alignment homography (exactly affine, see module docstring).
-    ``compute_dtype=bfloat16`` doubles the MXU rate at ~0.5% pixel quantization
-    (below JPEG noise); ``float32`` on TPU still runs bf16 MXU passes under the
-    default XLA precision but keeps f32 weight/mask construction.
+    ``H`` may be any invertible homography (affine or projective; the
+    alignment maps are near-affine with small perspective terms from the
+    reference's rounded centroids). ``compute_dtype=bfloat16`` doubles the MXU
+    rate at ~0.5% pixel quantization (below JPEG noise); ``float32`` on TPU
+    still runs bf16 MXU passes under the default XLA precision but keeps f32
+    weight/mask construction.
     """
     B, src_h, src_w, C = images.shape
     if C > 1 and src_h % 8:
@@ -202,24 +216,37 @@ def warp_affine_batch_pallas(
         ipp -= 1
 
     Minv = jnp.linalg.inv(H.astype(jnp.float32))
-    # out[i, j] samples src at sy = p i + q j + r ; sx = s i + t j + u
+    # Normalize so the projective constant is exactly 1 — the kernel's
+    # denominator is then wj·j + wi·i + 1 and affine maps degenerate to d = 1.
+    # Minv[2, 2] is ~1 for alignment maps (never 0 for an invertible warp
+    # whose source region stays finite).
+    Minv = Minv / Minv[:, 2:3, 2:3]
+    # out[i, j] samples src at
+    #   sy = (p i + q j + r) / d ; sx = (s i + t j + u) / d ; d = wi i + wj j + 1
     p = Minv[:, 1, 1]
     q = Minv[:, 1, 0]
     r = Minv[:, 1, 2]
     s = Minv[:, 0, 1]
     t = Minv[:, 0, 0]
     u = Minv[:, 0, 2]
-    coeffs = jnp.stack(
-        [p, q, r, s, t, u, jnp.zeros_like(p), jnp.zeros_like(p)], axis=1
-    )  # (B, 8)
+    wj = Minv[:, 2, 0]
+    wi = Minv[:, 2, 1]
+    coeffs = jnp.stack([p, q, r, s, t, u, wj, wi], axis=1)  # (B, 8)
 
-    # per-(image, block) 8-aligned band start from the block's corner extrema
+    # per-(image, block) 8-aligned band start from the block's corner extrema.
+    # Rational-linear maps have no interior extrema over a rectangle and are
+    # monotone along its edges (Möbius in each coordinate, denominator
+    # positive over the crop), so corner evaluation stays exact for the
+    # projective case too.
     blk = jnp.arange(n_blocks, dtype=jnp.float32) * rpb
     corners_i = jnp.stack([blk, blk + rpb - 1], 1)  # (n_blocks, 2)
     corners_j = jnp.asarray([0.0, ow - 1.0])
+    den = (wi[:, None, None, None] * corners_i[None, :, :, None]
+           + wj[:, None, None, None] * corners_j[None, None, None, :]
+           + 1.0)  # (B, n_blocks, 2, 2)
     sy = (p[:, None, None, None] * corners_i[None, :, :, None]
           + q[:, None, None, None] * corners_j[None, None, None, :]
-          + r[:, None, None, None])  # (B, n_blocks, 2, 2)
+          + r[:, None, None, None]) / den  # (B, n_blocks, 2, 2)
     sy_min = jnp.floor(sy.min(axis=(2, 3))) - 1.0
     h0 = jnp.clip(sy_min, 0.0, max(src_h - band, 0)).astype(jnp.int32)
     h0 = (h0 // 8) * 8  # sublane-slice alignment
@@ -228,11 +255,11 @@ def warp_affine_batch_pallas(
     # live x-chunks per (image, block): the block's bilinear taps span
     # [floor(sx_min), floor(sx_max)+1]; a 128-lane chunk is live iff that
     # span (±1 px slack for host/kernel f32 rounding drift) intersects it.
-    # Affine ⇒ extrema at the block's corner (i, j) pairs.
+    # Extrema at the block's corner (i, j) pairs (see the band note above).
     n_chunks = -(-src_w // XCHUNK)
     sx = (s[:, None, None, None] * corners_i[None, :, :, None]
           + t[:, None, None, None] * corners_j[None, None, None, :]
-          + u[:, None, None, None])  # (B, n_blocks, 2, 2)
+          + u[:, None, None, None]) / den  # (B, n_blocks, 2, 2)
     tap_lo = jnp.floor(sx.min(axis=(2, 3))) - 1.0   # (B, n_blocks)
     tap_hi = jnp.floor(sx.max(axis=(2, 3))) + 2.0
     edges = jnp.arange(n_chunks, dtype=jnp.float32) * XCHUNK

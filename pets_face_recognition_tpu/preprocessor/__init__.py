@@ -227,11 +227,17 @@ class Preproc3(_ModelPipeline):
         aligned = np.zeros((n, *out_hw, 3), np.float32)
         img_list = [images] if isinstance(images, np.ndarray) and np.ndim(
             images) == 3 else images
+        # The reference ROUNDS both prepended centroids to ints
+        # (``preprocessor/align.py:8-9``) which makes the exact 4-point
+        # homography slightly projective — same semantics as the batched
+        # device path (``ops.homography.align_crop``). kps are already
+        # rounded ints (ref :181), so the centroid round matches np exactly.
         solve_pts = np.concatenate(
-            [kps.mean(axis=1, keepdims=True), kps], axis=1
+            [np.round(kps.mean(axis=1, keepdims=True)), kps], axis=1
         )
         base4 = np.concatenate(
-            [self.base_pts.mean(axis=0, keepdims=True), self.base_pts], axis=0
+            [np.round(self.base_pts.mean(axis=0, keepdims=True)),
+             self.base_pts], axis=0
         )
         Hs = np.asarray(solve_homography(
             jnp.asarray(solve_pts), jnp.broadcast_to(

@@ -134,7 +134,9 @@ class EmbeddingService:
         dets = self.detector_fn(imgs)
         scores = dets["scores"][:, 0]
         det_ok = dets["valid"][:, 0] & (scores > self.score_thr)
-        kps = dets["keypoints"][:, 0, :, :2]
+        # the reference rounds landmarks to the int pixel grid before the
+        # distance check and alignment (ref preprocessor/__init__.py:181)
+        kps = jnp.round(dets["keypoints"][:, 0, :, :2])
         d01 = jnp.linalg.norm(kps[:, 0] - kps[:, 1], axis=-1)
         d02 = jnp.linalg.norm(kps[:, 0] - kps[:, 2], axis=-1)
         d12 = jnp.linalg.norm(kps[:, 1] - kps[:, 2], axis=-1)

@@ -1,4 +1,9 @@
-"""Pallas affine warp kernel (interpret mode) vs the exact projective reference."""
+"""Pallas warp kernel (interpret mode) vs the exact projective reference.
+
+The production homographies carry small perspective terms (the reference
+rounds the prepended centroids, preprocessor/align.py:8-9), so ``_alignment_H``
+keeps the full projective matrix — the kernel's rational divide must match
+``warp_perspective`` exactly, not just on affine maps."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -13,11 +18,10 @@ BASE = np.array([[70.0, 92.0], [154.0, 92.0], [112.0, 160.0]], np.float32)
 
 
 def _alignment_H(pts):
-    p1 = np.concatenate([pts.mean(0, keepdims=True), pts])
-    p2 = np.concatenate([BASE.mean(0, keepdims=True), BASE])
-    H = np.array(solve_homography(jnp.asarray(p1), jnp.asarray(p2)))
-    H[2, :2] = 0.0
-    return H
+    pts = np.round(pts)  # reference rounds detector keypoints to int (:181)
+    p1 = np.concatenate([np.round(pts.mean(0, keepdims=True)), pts])
+    p2 = np.concatenate([np.round(BASE.mean(0, keepdims=True)), BASE])
+    return np.array(solve_homography(jnp.asarray(p1), jnp.asarray(p2)))
 
 
 def test_pallas_warp_matches_projective_reference(rng):

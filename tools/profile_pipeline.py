@@ -116,10 +116,14 @@ def main():
 
     def align_only(imgs, kp):
         base = jnp.broadcast_to(base_pts, (imgs.shape[0], 3, 2))
-        src4 = jnp.concatenate([kp.mean(axis=1, keepdims=True), kp], axis=1)
-        dst4 = jnp.concatenate([base.mean(axis=1, keepdims=True), base], axis=1)
+        # production semantics (see bench.py): rounded landmarks + rounded
+        # centroids -> slightly projective H through the kernel's divide
+        kp = jnp.round(kp)
+        src4 = jnp.concatenate([jnp.round(kp.mean(axis=1, keepdims=True)),
+                                kp], axis=1)
+        dst4 = jnp.concatenate([jnp.round(base.mean(axis=1, keepdims=True)),
+                                base], axis=1)
         Hs = solve_homography(src4, dst4)
-        Hs = Hs.at[:, 2, 0].set(0.0).at[:, 2, 1].set(0.0)
         crops = warp_affine_batch_pallas(imgs, Hs, (224, 224),
                                          compute_dtype=jnp.bfloat16,
                                          band=args.band)
