@@ -12,8 +12,61 @@ Static-shape: output is always ``(D, H, W)``.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+def _interp_coords_torch(out_size: int, in_size: int):
+    """torch ``F.interpolate(mode='bilinear', align_corners=False)`` source
+    coordinates for one axis: ``src = max(scale*(i+0.5)-0.5, 0)``; tap 0 is
+    ``floor(src)``, tap 1 is ``min(tap0+1, in_size-1)`` (edge replicate)."""
+    scale = in_size / out_size
+    src = np.maximum(
+        scale * (np.arange(out_size, dtype=np.float32) + 0.5) - 0.5, 0.0)
+    i0 = np.minimum(src.astype(np.int64), in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    lam = src - i0
+    return i0, i1, lam
+
+
+def paste_mask_np(mask: np.ndarray, box: np.ndarray, im_h: int, im_w: int,
+                  padding: int = 1) -> np.ndarray:
+    """Host (numpy) paste of ONE ``(S, S)`` mask into ``(im_h, im_w)`` with
+    torchvision's exact ``paste_masks_in_image`` semantics: pad the mask by 1,
+    scale the box by ``(S+2)/S`` (``expand_masks``/``expand_boxes``), truncate
+    the box to int64, bilinear-resize (align_corners=False, torch edge
+    clamping) to ``(y2-y1+1, x2-x1+1)``, paste clipped to the image.
+
+    This is the mask the reference thresholds and crops with in ``Preproc4``
+    (ref ``preprocessor/__init__.py:236-243``) — the compat pipelines use it so
+    masked crops and tightened boxes are bit-comparable to a torch oracle.
+    The jitted :func:`paste_masks` is the static-shape device analog.
+    """
+    S = mask.shape[0]
+    m = np.zeros((S + 2 * padding, S + 2 * padding), np.float32)
+    m[padding:S + padding, padding:S + padding] = mask
+    scale = (S + 2.0 * padding) / S
+    cx, cy = (box[2] + box[0]) * 0.5, (box[3] + box[1]) * 0.5
+    w2, h2 = (box[2] - box[0]) * 0.5 * scale, (box[3] - box[1]) * 0.5 * scale
+    b = np.array([cx - w2, cy - h2, cx + w2, cy + h2], np.float64).astype(
+        np.int64)  # torch Tensor.to(int64) truncates toward zero
+    w = max(int(b[2] - b[0] + 1), 1)
+    h = max(int(b[3] - b[1] + 1), 1)
+    Sp = S + 2 * padding
+    x0, x1, lx = _interp_coords_torch(w, Sp)
+    y0, y1, ly = _interp_coords_torch(h, Sp)
+    rows = m[y0] * (1.0 - ly)[:, None] + m[y1] * ly[:, None]     # (h, Sp)
+    resized = (rows[:, x0] * (1.0 - lx)[None, :]
+               + rows[:, x1] * lx[None, :])                      # (h, w)
+    out = np.zeros((im_h, im_w), np.float32)
+    x_0, x_1 = max(int(b[0]), 0), min(int(b[2]) + 1, im_w)
+    y_0, y_1 = max(int(b[1]), 0), min(int(b[3]) + 1, im_h)
+    if x_1 > x_0 and y_1 > y_0:
+        out[y_0:y_1, x_0:x_1] = resized[
+            y_0 - int(b[1]):y_1 - int(b[1]), x_0 - int(b[0]):x_1 - int(b[0])
+        ]
+    return out
 
 
 def paste_masks(

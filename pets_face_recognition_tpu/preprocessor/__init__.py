@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.homography import align_crop, solve_homography, warp_perspective
-from ..ops.masks import paste_masks
+from ..ops.masks import paste_mask_np
 from ..utils.collate import letterbox_image
 from .align import align
 
@@ -274,10 +274,12 @@ class Preproc4(_ModelPipeline):
                  use_mask: bool = False, mask_thr: float = 0.5,
                  out_size: tuple[int, int] | None = None,
                  input_size=(320, 320), return_for_metrics: bool = False,
-                 serve_batch: int | None = None):
+                 serve_batch: int | None = None, masked: bool | None = None):
         super().__init__(model_fn, loader, input_size, serve_batch)
         self.thr = thr
-        self.use_mask = use_mask
+        # ``masked`` is the reference's keyword (ref :221); ``use_mask`` kept
+        # as this repo's historical spelling — either works.
+        self.use_mask = use_mask if masked is None else masked
         self.mask_thr = mask_thr
         self.out_size = out_size
         self.return_for_metrics = return_for_metrics
@@ -295,11 +297,7 @@ class Preproc4(_ModelPipeline):
         img_list = [images] if isinstance(images, np.ndarray) and np.ndim(
             images) == 3 else images
 
-        if self.use_mask and "masks" in out:
-            # mask-multiply + bbox tightening from the thresholded mask (ref
-            # :238-243); mask is pasted at letterbox scale then mapped back.
-            boxes = boxes.copy()
-
+        boxes = boxes.copy()
         crops = []
         for i, img in enumerate(img_list):
             img = np.asarray(img)
@@ -309,35 +307,43 @@ class Preproc4(_ModelPipeline):
             if not valid[i]:
                 crops.append(None)
                 continue
-            x1, y1, x2, y2 = boxes[i]
             h, w = img.shape[:2]
-            x1, y1 = max(int(round(x1)), 0), max(int(round(y1)), 0)
-            x2, y2 = min(int(round(x2)), w), min(int(round(y2)), h)
+            # ref :235 rounds the box to int BEFORE the mask tightening
+            bb = np.round(boxes[i]).astype(int)
+            if self.use_mask and "masks" in out:
+                # ref :236-243: paste the box-frame mask at FULL original
+                # resolution (torchvision postprocess semantics), threshold
+                # strictly (> mask_thr), multiply the image, and clamp the box
+                # to the thresholded mask's row/col extents.
+                full = paste_mask_np(
+                    np.asarray(out["masks"][i, 0], np.float32),
+                    boxes[i].astype(np.float64), h, w,
+                )
+                binary = (full > self.mask_thr).astype(np.int32)
+                cols = binary.sum(axis=0) != 0
+                rows_nz = binary.sum(axis=1) != 0
+                if not cols.any():
+                    # ref :240 ``.index(False)`` raises ValueError on an
+                    # all-zero mask — the image is silently dropped upstream
+                    # (transform_reproduce.py:41 suppresses ValueError)
+                    valid[i] = False
+                    crops.append(None)
+                    continue
+                img = img * binary[:, :, None]
+                bb[0] = max(bb[0], int(np.argmax(cols)))
+                bb[1] = max(bb[1], int(np.argmax(rows_nz)))
+                bb[2] = min(bb[2], w - int(np.argmax(cols[::-1])))
+                bb[3] = min(bb[3], h - int(np.argmax(rows_nz[::-1])))
+                # the tightened box is what return_for_metrics reports
+                # (prepare_tables.py writes it to detected_body.tsv)
+                boxes[i] = bb
+            x1, y1 = max(int(bb[0]), 0), max(int(bb[1]), 0)
+            x2, y2 = min(int(bb[2]), w), min(int(bb[3]), h)
             if x2 <= x1 or y2 <= y1:
                 valid[i] = False
                 crops.append(None)
                 continue
-            if self.use_mask and "masks" in out:
-                mask28 = out["masks"][i, 0]
-                full = np.asarray(
-                    paste_masks(
-                        jnp.asarray(mask28[None]),
-                        jnp.asarray(
-                            (boxes[i] * scales[i]
-                             + np.tile(pads[i], 2))[None]),
-                        self.input_size,
-                    )
-                )[0]
-                # map letterbox-scale mask into original coords crop region
-                ys = (np.arange(y1, y2) * scales[i] + pads[i][1]).astype(int)
-                xs = (np.arange(x1, x2) * scales[i] + pads[i][0]).astype(int)
-                ys = np.clip(ys, 0, self.input_size[0] - 1)
-                xs = np.clip(xs, 0, self.input_size[1] - 1)
-                m = (full[np.ix_(ys, xs)] >= self.mask_thr).astype(np.float32)
-                crop = img[y1:y2, x1:x2] * m[..., None]
-            else:
-                crop = img[y1:y2, x1:x2]
-            crops.append(crop)
+            crops.append(img[y1:y2, x1:x2])
 
         if self.out_size is not None:
             fixed = np.zeros((len(img_list), *self.out_size, 3), np.float32)
@@ -413,18 +419,11 @@ class Preproc5(_ModelPipeline):
                 valid[i] = False
                 crops.append(None)
                 continue
-            # paste the 28x28 mask probabilities to full image scale
-            full = np.asarray(paste_masks(
-                jnp.asarray(out["masks"][i, 0][None]),
-                jnp.asarray((boxes[i] * scales[i] + np.tile(pads[i], 2))[None]),
-                self.input_size,
-            ))[0]
-            ys = np.clip((np.arange(h) * scales[i] + pads[i][1]).astype(int),
-                         0, self.input_size[0] - 1)
-            xs = np.clip((np.arange(w) * scales[i] + pads[i][0]).astype(int),
-                         0, self.input_size[1] - 1)
-            m = full[np.ix_(ys, xs)]
-            soft = np.where(m < self.mask_thr, m ** 2, 1.0)
+            # paste the 28x28 mask probabilities at FULL original resolution
+            # (torchvision postprocess semantics, ref :628-631)
+            full = paste_mask_np(np.asarray(out["masks"][i, 0], np.float32),
+                                 boxes[i].astype(np.float64), h, w)
+            soft = np.where(full < self.mask_thr, full ** 2, 1.0)
             crops.append((img * soft[..., None])[y1:y2, x1:x2])
         return crops, np.asarray(valid), {"scores": scores, "boxes": boxes}
 
