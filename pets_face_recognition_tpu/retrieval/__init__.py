@@ -81,6 +81,95 @@ def build_card_matrix(cards: list[CardRecord], dim: int = 512):
     return head, body, has_head, has_body, types
 
 
+def build_card_image_matrix(cards: list[CardRecord], dim: int,
+                            which: str = "head"):
+    """Stack PER-IMAGE normalized embeddings, padded to the max image count:
+    returns ``(imgs (C, N, D), valid (C, N))``.
+
+    The max strategy (unlike mean) does NOT reduce to centroids — the max over
+    image pairs needs every pair — so cards keep their full (padded) image
+    matrices here.
+    """
+    C = len(cards)
+    vec_lists = []
+    for c in cards:
+        v = c.head_vectors if which == "head" else c.body_vectors
+        v = np.asarray(v, np.float32).reshape(-1, dim) if v is not None and \
+            len(v) else np.zeros((0, dim), np.float32)
+        vec_lists.append(
+            v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-12))
+    n_max = max((len(v) for v in vec_lists), default=1) or 1
+    imgs = np.zeros((C, n_max, dim), np.float32)
+    valid = np.zeros((C, n_max), bool)
+    for i, v in enumerate(vec_lists):
+        imgs[i, : len(v)] = v
+        valid[i, : len(v)] = True
+    return imgs, valid
+
+
+def max_strategy_card_scores(
+    q_imgs: np.ndarray,
+    q_valid: np.ndarray,
+    g_imgs: np.ndarray,
+    g_valid: np.ndarray,
+    block: int = 512,
+) -> np.ndarray:
+    """Max-strategy scores: ``max over image pairs of (cos + 1) / 2``
+    (``max_strategy_cal_scores``, ref ``generate_tsv_to_reproduce1.py:80-87``
+    — NOTE: no clamp at 0, unlike the mean strategy).
+
+    One blockwise ``(Q·Nq, D) × (D, Gb·Ng)`` matmul per gallery block with a
+    masked pair-max — the TPU-shaped replacement for the reference's
+    O(pairs) python loop. Pairs with a missing image are excluded; cards
+    with no images at all score ``-inf`` (callers gate on ``has_head`` /
+    ``has_body`` exactly like the mean strategy, ref ``:101-105``).
+    """
+
+    @jax.jit
+    def block_scores(qm, qv, gm, gv):
+        # HIGHEST: retrieval ranks are a float-exact parity contract — the
+        # TPU default (one bf16 pass) drifts scores ~1e-4, enough to flip
+        # near-ties vs the reference's f32 CPU math
+        s = jnp.einsum("qnd,gmd->qgnm", qm, gm,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        s = (s + 1.0) / 2.0
+        mask = qv[:, None, :, None] & gv[None, :, None, :]
+        return jnp.where(mask, s, -jnp.inf).max(axis=(2, 3))
+
+    G = g_imgs.shape[0]
+    out = np.full((q_imgs.shape[0], G), -np.inf, np.float32)
+    qm = jnp.asarray(q_imgs)
+    qv = jnp.asarray(q_valid)
+    for lo in range(0, G, block):
+        hi = min(lo + block, G)
+        # pad the tail block to the full block size: ONE compiled shape
+        gm = g_imgs[lo:hi]
+        gv = g_valid[lo:hi]
+        if hi - lo < block and G > block:
+            pad = block - (hi - lo)
+            gm = np.concatenate([gm, np.zeros((pad, *gm.shape[1:]),
+                                              gm.dtype)])
+            gv = np.concatenate([gv, np.zeros((pad, gv.shape[1]), bool)])
+        out[:, lo:hi] = np.asarray(
+            block_scores(qm, qv, jnp.asarray(gm), jnp.asarray(gv))
+        )[:, : hi - lo]
+    return out
+
+
+def max_strategy_cal_scores(v1, v2) -> float:
+    """Reference-signature convenience: two image-embedding lists → max-pair
+    score (ref ``generate_tsv_to_reproduce1.py:80-87``). Unused by any
+    reference entry point but part of its component surface."""
+    def norm_stack(v):
+        arr = np.stack([np.asarray(x, np.float32).reshape(-1) for x in v])
+        return arr / np.maximum(
+            np.linalg.norm(arr, axis=-1, keepdims=True), 1e-12)
+
+    a, b = norm_stack(v1), norm_stack(v2)
+    return float(((a @ b.T + 1.0) / 2.0).max())
+
+
 def pairwise_card_scores(q: np.ndarray, g: np.ndarray,
                          mesh: Mesh | None = None) -> np.ndarray:
     """``(Q, D) × (G, D) → (Q, G)`` mean-strategy scores ``max(0, (dot+1)/2)``.
@@ -91,7 +180,8 @@ def pairwise_card_scores(q: np.ndarray, g: np.ndarray,
 
     @jax.jit
     def compute(qm, gm):
-        s = jnp.dot(qm, gm.T, preferred_element_type=jnp.float32)
+        s = jnp.dot(qm, gm.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         return jnp.maximum((s + 1.0) / 2.0, 0.0)
 
     qj = jnp.asarray(q)
@@ -134,7 +224,8 @@ def sharded_topk_scores(
     kk = min(k, shard_size)
 
     def local_topk(q, g_shard):
-        s = jnp.dot(q, g_shard.T, preferred_element_type=jnp.float32)
+        s = jnp.dot(q, g_shard.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         s = jnp.maximum((s + 1.0) / 2.0, 0.0)
         # mask padding rows of the last shard
         shard_id = jax.lax.axis_index(axis)
@@ -200,6 +291,15 @@ def topk_rows(
     ``(query-less) (top1, mean top3, mean top10, 'names,...')``.
 
     Stability matches python ``sorted(key=-score)``: ties keep gallery order.
+
+    Small-gallery divergence (DELIBERATE, pinned by
+    ``tests/test_retrieval_reference_parity.py::test_small_gallery_semantics``):
+    the reference computes ``np.mean([l[i][1] for i in range(3)])``
+    unconditionally (ref ``generate_tsv_to_reproduce1.py:117-118``) and
+    IndexError-CRASHES the whole run when any query has fewer than 3/10 scored
+    gallery cards — IndexError is not in its suppressed-exception lists. We
+    average over ``min(n, 3)`` / ``min(n, 10)`` instead: identical on every
+    input the reference survives, defined (instead of fatal) elsewhere.
     """
     rows = []
     Q, G = scores.shape

@@ -161,3 +161,98 @@ def test_mean_strategy_equals_centroid_dot():
     gh, _, _, _, _ = build_card_matrix([c2], 512)
     ours = pairwise_card_scores(qh, gh)[0, 0]
     assert abs(ref_score - ours) < 1e-6
+
+
+def test_max_strategy_matches_reference():
+    """max_strategy_cal_scores (ref :80-87): max-pair (cos+1)/2, NO 0-clamp."""
+    ref = _load_ref_module()
+    rng = np.random.RandomState(5)
+    from pets_face_recognition_tpu.retrieval import max_strategy_cal_scores
+
+    for n1, n2 in ((1, 1), (5, 7), (3, 12)):
+        v1 = [torch.tensor(rng.randn(512), dtype=torch.float32)
+              for _ in range(n1)]
+        v2 = [torch.tensor(rng.randn(512), dtype=torch.float32)
+              for _ in range(n2)]
+        want = ref.max_strategy_cal_scores(v1, v2)
+        got = max_strategy_cal_scores([t.numpy() for t in v1],
+                                      [t.numpy() for t in v2])
+        assert abs(want - got) < 1e-6, (n1, n2)
+    # no clamp at 0: anti-aligned single vectors score ~0 exactly, and an
+    # orthogonal-ish pair scores its true (cos+1)/2 even below the mean
+    # strategy's clamp threshold
+    v = rng.randn(512).astype(np.float32)
+    assert abs(max_strategy_cal_scores([v], [-v]) - 0.0) < 1e-6
+
+
+def test_max_strategy_card_matrix_blockwise():
+    """Batched card-level max strategy == per-pair reference loop, across
+    block boundaries and padded image slots."""
+    ref = _load_ref_module()
+    rng = np.random.RandomState(6)
+    from pets_face_recognition_tpu.retrieval import (
+        CardRecord, build_card_image_matrix, infer_dim,
+        max_strategy_card_scores,
+    )
+
+    def mk(n_imgs, i):
+        v = rng.randn(n_imgs, 64).astype(np.float32)
+        return CardRecord(f"c{i}", 1, v, np.zeros((0, 64), np.float32))
+
+    q_cards = [mk(1 + rng.randint(4), i) for i in range(3)]
+    g_cards = [mk(1 + rng.randint(4), 100 + i) for i in range(7)]
+    dim = infer_dim(q_cards)
+    qm, qv = build_card_image_matrix(q_cards, dim)
+    gm, gv = build_card_image_matrix(g_cards, dim)
+    got = max_strategy_card_scores(qm, qv, gm, gv, block=3)  # forces 3 blocks
+
+    for qi, qc in enumerate(q_cards):
+        for gi, gc in enumerate(g_cards):
+            want = ref.max_strategy_cal_scores(
+                [torch.tensor(v) for v in qc.head_vectors],
+                [torch.tensor(v) for v in gc.head_vectors],
+            )
+            assert abs(got[qi, gi] - want) < 1e-5, (qi, gi)
+
+
+@pytest.mark.parametrize("n_gallery", [2, 5])
+def test_small_gallery_semantics(n_gallery):
+    """Pin the DELIBERATE matched_3/10 divergence (ref :117-118): with a
+    <3/<10-card gallery the reference IndexError-crashes the whole run; we
+    average over the available cards (identical wherever the reference
+    survives — see topk_rows docstring)."""
+    ref = _load_ref_module()
+    rng = np.random.RandomState(7)
+
+    def tcard(i, base):
+        return Path(f"/fake/{base}_{i}"), {
+            "type": 1,
+            "head_vectors": [torch.tensor(rng.randn(512),
+                                          dtype=torch.float32)],
+            "body_vectors": [],
+        }
+
+    init = dict(tcard(i, "q") for i in range(2))
+    extra = dict(tcard(i, "g") for i in range(n_gallery))
+
+    with pytest.raises(IndexError):
+        ref.calc_scores(init, extra)
+
+    from pets_face_recognition_tpu.retrieval import calc_scores
+
+    rows = calc_scores(_to_card_records(init), _to_card_records(extra))
+    assert len(rows) == 2
+    for row in rows:
+        name, m1, m3, m10, answer = row
+        scores = []
+        for gname, gvec in extra.items():
+            s = ref.mean_strategy_cal_scores(
+                list(init.values())[0]["head_vectors"]
+                if name == "q_0" else list(init.values())[1]["head_vectors"],
+                gvec["head_vectors"])
+            scores.append(s)
+        scores.sort(reverse=True)
+        assert abs(m1 - scores[0]) < 1e-5
+        assert abs(m3 - np.mean(scores[: min(3, len(scores))])) < 1e-5
+        assert abs(m10 - np.mean(scores[: min(10, len(scores))])) < 1e-5
+        assert len(answer.split(",")) == n_gallery
