@@ -16,10 +16,10 @@ Weights are randomly initialized (throughput is weight-independent); compute is
 bfloat16 on the MXU with float32 params. Prints exactly one JSON line.
 
 Measured on this image's v5e (batch 128 @320px, 100 steady-state iters):
-mobile ≈ 5015 crops/s (chunk-skip int8 warp, top-1 postprocess fast path,
-rpn budgets 24/8, 8 imgs/program, torchvision-parity windowed bicubic
-keypoint decode) — ≥ the 5000 target; resnet50 ≈ 1944 crops/s. See PERF.md
-for the stage breakdown and kernel notes.
+mobile ≈ 5836 crops/s (chunk-skip int8 warp, int8 PTQ embedder trunk,
+bf16-resident inputs, top-1 postprocess fast path, rpn budgets 24/8,
+8 imgs/program, torchvision-parity windowed bicubic keypoint decode) —
+1.17× the 5000 target. See PERF.md for the stage breakdown and kernel notes.
 """
 
 from __future__ import annotations
@@ -32,10 +32,17 @@ import numpy as np
 
 
 def build_serving_models(bf16: bool = True, detector_kind: str = "mobile",
-                         rpn_pre: int = 128, rpn_post: int = 16):
+                         rpn_pre: int = 128, rpn_post: int = 16,
+                         detector_quant: str | None = None,
+                         embedder_quant: str | None = None):
     """Serving detector + embedder + canonical landmarks (shared by bench.py
     and tools/profile_pipeline.py so the profiled model can't drift from the
-    benchmarked one). Returns ``(detector, embedder, base_pts, dtype)``."""
+    benchmarked one). Returns ``(detector, embedder, base_pts, dtype)``.
+
+    ``detector_quant`` / ``embedder_quant``: None | "calibrate" | "int8" —
+    the ResNet-50 trunks' serving int8 PTQ path (``models/quant.py``); the
+    detector knob applies to the resnet50 detector only (the mobile detector
+    is MobileNetV3)."""
     import jax.numpy as jnp
 
     from pets_face_recognition_tpu.models import resnet50_embedder
@@ -69,19 +76,21 @@ def build_serving_models(bf16: bool = True, detector_kind: str = "mobile",
         det_cfg = RCNNConfig(**budgets)
         det_backbone = BackboneWithFPN(
             backbone=resnet50(features_only=True, frozen_stats=True,
-                              dtype=dtype),
+                              dtype=dtype, quant=detector_quant),
             dtype=dtype,
         )
     detector = GeneralizedRCNN(backbone=det_backbone, cfg=det_cfg, dtype=dtype)
-    embedder = resnet50_embedder(embedding_dim=512, dtype=dtype)
+    embedder = resnet50_embedder(embedding_dim=512, dtype=dtype,
+                                 quant=embedder_quant)
     base_pts = jnp.asarray([[70.0, 92.0], [154.0, 92.0], [112.0, 160.0]])
     return detector, embedder, base_pts, dtype
 
 
 def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
                    detector_kind: str = "mobile", rpn_pre: int = 128,
-                   rpn_post: int = 16, band: int = 96,
-                   warp_dtype: str = "bfloat16"):
+                   rpn_post: int = 16, band: int = 80,
+                   warp_dtype: str = "bfloat16", input_dtype: str = "bfloat16",
+                   int8_detector: bool = False, int8_embedder: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -89,18 +98,42 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
 
     enable_compilation_cache()
 
+    det_q = "int8" if (int8_detector and detector_kind == "resnet50") else None
+    emb_q = "int8" if int8_embedder else None
     detector, embedder, base_pts, dtype = build_serving_models(
         bf16=bf16, detector_kind=detector_kind, rpn_pre=rpn_pre,
-        rpn_post=rpn_post)
+        rpn_post=rpn_post, detector_quant=det_q, embedder_quant=emb_q)
+    if det_q or emb_q:
+        # calibrate twins: same trees, real-precision forward; their init IS
+        # the calibration pass (models/quant.py), the int8 twins then consume
+        # the resulting variables
+        det_init, emb_init, _, _ = build_serving_models(
+            bf16=bf16, detector_kind=detector_kind, rpn_pre=rpn_pre,
+            rpn_post=rpn_post,
+            detector_quant="calibrate" if det_q else None,
+            embedder_quant="calibrate" if emb_q else None)
+    else:
+        det_init, emb_init = detector, embedder
 
     rng = jax.random.PRNGKey(0)
     images = jnp.asarray(
         np.random.RandomState(0).rand(batch_size, image_size, image_size, 3),
         jnp.float32,
     )
-    det_vars = jax.jit(lambda r, x: detector.init(r, x, train=False))(rng, images)
-    emb_vars = jax.jit(embedder.init)(
-        rng, jnp.zeros((batch_size, 224, 224, 3), jnp.float32)
+    det_vars = jax.jit(lambda r, x: det_init.init(r, x, train=False))(rng, images)
+    if input_dtype == "bfloat16":
+        # bf16-resident input batch: production ingest is uint8 JPEG pixels →
+        # one cast at the device boundary; keeping the resident batch bf16
+        # halves BOTH full-image HBM reads (detector first conv + warp source
+        # quantize — ~315 MB/batch f32 → ~157 MB). Pixel error 2^-9 relative,
+        # far below the warp's int8 127-level quantization step.
+        images = images.astype(jnp.bfloat16)
+    # uniform-[0,1] init crops: with the int8 trunk the init pass doubles as
+    # activation-range calibration, so feed it the bench input distribution
+    # (zeros would calibrate scales to ~0 and saturate every layer)
+    emb_vars = jax.jit(emb_init.init)(
+        rng, jnp.asarray(np.random.RandomState(1).rand(
+            batch_size, 224, 224, 3), jnp.float32)
     )
 
     if bf16:
@@ -176,11 +209,16 @@ def main():
                              "(tunnel-transient rejection)")
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--no-bf16", action="store_true")
-    parser.add_argument("--band", type=int, default=96,
+    parser.add_argument("--band", type=int, default=80,
                         help="warp kernel y-band (rotation envelope knob; "
-                             "128 admits ~±17deg at alignment scale, 96 ~±13; "
-                             "beyond the envelope the crop's far rows clamp "
-                             "gracefully at the band edge)")
+                             "128 admits ~±17deg at alignment scale, 96 ~±13, "
+                             "80 ~±10; beyond the envelope the crop's far "
+                             "rows clamp gracefully at the band edge)")
+    parser.add_argument("--input-dtype", choices=("float32", "bfloat16"),
+                        default="bfloat16",
+                        help="resident dtype of the input image batch "
+                             "(bfloat16 halves both full-image HBM reads; "
+                             "production ingest is uint8 anyway)")
     parser.add_argument("--warp-dtype", choices=("bfloat16", "int8"),
                         default="int8",
                         help="warp kernel MXU dtype (default int8: 2x MXU "
@@ -197,6 +235,18 @@ def main():
                         help="serving detector: the reference's lightweight "
                              "MobileNetV3 keypoint R-CNN (default) or the "
                              "ResNet-50 quality model")
+    parser.add_argument("--int8-detector", action="store_true",
+                        help="int8 PTQ trunk for the resnet50 detector "
+                             "backbone (models/quant.py; no-op for mobile)")
+    parser.add_argument("--int8-embedder", dest="int8_embedder",
+                        action="store_true", default=True,
+                        help="int8 PTQ trunk for the ResNet-50 embedder "
+                             "(default ON: per-channel-weight / per-tensor-"
+                             "activation symmetric PTQ, embedding cosine "
+                             ">0.99 vs float — tests/test_quant.py)")
+    parser.add_argument("--no-int8-embedder", dest="int8_embedder",
+                        action="store_false",
+                        help="run the embedder trunk in bfloat16")
     args = parser.parse_args()
 
     import jax
@@ -207,7 +257,10 @@ def main():
                                       rpn_pre=args.rpn_pre,
                                       rpn_post=args.rpn_post,
                                       band=args.band,
-                                      warp_dtype=args.warp_dtype)
+                                      warp_dtype=args.warp_dtype,
+                                      input_dtype=args.input_dtype,
+                                      int8_detector=args.int8_detector,
+                                      int8_embedder=args.int8_embedder)
     # compile + warmup
     out = pipeline(images)
     jax.block_until_ready(out)

@@ -33,10 +33,15 @@ class EmbeddingModel(nn.Module):
         return emb
 
 
-def resnet50_embedder(embedding_dim: int = 512, dtype=jnp.float32) -> EmbeddingModel:
-    """The production FE: ResNet-50 trunk (headless) + 512-d projection."""
+def resnet50_embedder(embedding_dim: int = 512, dtype=jnp.float32,
+                      quant=None) -> EmbeddingModel:
+    """The production FE: ResNet-50 trunk (headless) + 512-d projection.
+
+    ``quant``: None | "calibrate" | "int8" — serving int8 trunk
+    (``models/quant.py``); the fc projection stays float32.
+    """
     return EmbeddingModel(
-        backbone=resnet50(num_classes=0, dtype=dtype),
+        backbone=resnet50(num_classes=0, dtype=dtype, quant=quant),
         embedding_dim=embedding_dim,
         dtype=dtype,
     )

@@ -22,16 +22,33 @@ from typing import Any, Callable, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .quant import ActQuant, QuantConv
+
 ModuleDef = Any
 
 
+def _dequant(xq, s_x, dtype):
+    """int8 activation → compute dtype (symmetric scale-127)."""
+    return (xq.astype(jnp.float32) * (s_x / 127.0)).astype(dtype)
+
+
 class Bottleneck(nn.Module):
-    """1x1 → 3x3(stride) → 1x1 bottleneck with identity/projection shortcut."""
+    """1x1 → 3x3(stride) → 1x1 bottleneck with identity/projection shortcut.
+
+    ``quant`` (None | "calibrate" | "int8") selects the serving int8 path
+    (see ``models/quant.py``). Both quant modes declare the same tree as the
+    float path's ``nn.Conv`` modules (``convN/kernel``), so torchvision
+    checkpoint conversion is unchanged. In int8 mode the block input is
+    quantized ONCE (``in_q``) and consumed by conv1, the projection shortcut,
+    *and* the identity residual — so the inter-block tensor has a single
+    bfloat16 consumer and XLA materializes it int8-only (activation HBM ÷2).
+    """
 
     features: int  # bottleneck width; output is 4x this
     stride: int = 1
     dtype: Any = jnp.float32
     norm: ModuleDef = nn.BatchNorm
+    quant: Any = None
 
     expansion: int = 4
 
@@ -39,6 +56,32 @@ class Bottleneck(nn.Module):
     def __call__(self, x):
         residual = x
         out_ch = self.features * self.expansion
+        if self.quant is not None:
+            calibrate = self.quant == "calibrate"
+            qconv = partial(QuantConv, dtype=self.dtype, calibrate=calibrate)
+            xq, s_x = ActQuant(calibrate=calibrate, name="in_q")(x)
+            y = qconv(self.features, name="conv1")(xq, s_x)
+            y = self.norm(name="bn1")(y)
+            y = nn.relu(y)
+            yq, s1 = ActQuant(calibrate=calibrate, name="q1")(y)
+            y = qconv(self.features, (3, 3),
+                      strides=(self.stride, self.stride),
+                      padding=[(1, 1), (1, 1)], name="conv2")(yq, s1)
+            y = self.norm(name="bn2")(y)
+            y = nn.relu(y)
+            yq2, s2 = ActQuant(calibrate=calibrate, name="q2")(y)
+            y = qconv(out_ch, name="conv3")(yq2, s2)
+            y = self.norm(name="bn3")(y)
+            if x.shape[-1] != out_ch or self.stride != 1:
+                residual = qconv(out_ch, strides=(self.stride, self.stride),
+                                 name="downsample_conv")(xq, s_x)
+                residual = self.norm(name="downsample_bn")(residual)
+            elif not calibrate:
+                residual = _dequant(xq, s_x, self.dtype)
+            else:
+                residual = x.astype(self.dtype)
+            return nn.relu(y + residual)
+
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
 
         y = conv(self.features, (1, 1), name="conv1")(x)
@@ -59,18 +102,43 @@ class Bottleneck(nn.Module):
 
 
 class BasicBlock(nn.Module):
-    """3x3 → 3x3 block (ResNet-18/34)."""
+    """3x3 → 3x3 block (ResNet-18/34). Same ``quant`` contract as Bottleneck."""
 
     features: int
     stride: int = 1
     dtype: Any = jnp.float32
     norm: ModuleDef = nn.BatchNorm
+    quant: Any = None
 
     expansion: int = 1
 
     @nn.compact
     def __call__(self, x):
         residual = x
+        if self.quant is not None:
+            calibrate = self.quant == "calibrate"
+            qconv = partial(QuantConv, dtype=self.dtype, calibrate=calibrate)
+            xq, s_x = ActQuant(calibrate=calibrate, name="in_q")(x)
+            y = qconv(self.features, (3, 3),
+                      strides=(self.stride, self.stride),
+                      padding=[(1, 1), (1, 1)], name="conv1")(xq, s_x)
+            y = self.norm(name="bn1")(y)
+            y = nn.relu(y)
+            yq, s1 = ActQuant(calibrate=calibrate, name="q1")(y)
+            y = qconv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                      name="conv2")(yq, s1)
+            y = self.norm(name="bn2")(y)
+            if x.shape[-1] != self.features or self.stride != 1:
+                residual = qconv(self.features,
+                                 strides=(self.stride, self.stride),
+                                 name="downsample_conv")(xq, s_x)
+                residual = self.norm(name="downsample_bn")(residual)
+            elif not calibrate:
+                residual = _dequant(xq, s_x, self.dtype)
+            else:
+                residual = x.astype(self.dtype)
+            return nn.relu(y + residual)
+
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
         y = conv(self.features, (3, 3), strides=(self.stride, self.stride),
                  padding=[(1, 1), (1, 1)], name="conv1")(x)
@@ -134,6 +202,12 @@ class ResNet(nn.Module):
       features_only: return dict of {'c2','c3','c4','c5'} pyramid features.
       frozen_stats: BatchNorm always uses running stats (torchvision detection's
         FrozenBatchNorm2d behavior, /root/reference/models/detection/rcnn.py:7,22).
+      quant: None | "calibrate" | "int8" — serving int8 path (models/quant.py).
+        Build a "calibrate" twin and an "int8" twin of the same architecture;
+        init/apply the calibrate twin (mutable=["quant"]) over representative
+        batches, then apply the int8 twin with the resulting variables. The
+        stem stays in the compute dtype (3-channel convs are MXU-starved
+        anyway, PERF.md); all stage blocks run int8.
     """
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
@@ -143,6 +217,7 @@ class ResNet(nn.Module):
     features_only: bool = False
     frozen_stats: bool = False
     fused_stem: bool = True
+    quant: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -185,7 +260,7 @@ class ResNet(nn.Module):
                 stride = 2 if (i == 0 and stage > 0) else 1
                 x = self.block(
                     width, stride=stride, dtype=self.dtype, norm=norm,
-                    name=f"layer{stage + 1}_{i}",
+                    quant=self.quant, name=f"layer{stage + 1}_{i}",
                 )(x)
             feats[f"c{stage + 2}"] = x
 
