@@ -34,7 +34,9 @@ import numpy as np
 def build_serving_models(bf16: bool = True, detector_kind: str = "mobile",
                          rpn_pre: int = 128, rpn_post: int = 16,
                          detector_quant: str | None = None,
-                         embedder_quant: str | None = None):
+                         embedder_quant: str | None = None,
+                         quant_fpn: bool = False, quant_rpn: bool = False,
+                         kp_head_quant: str | None = None):
     """Serving detector + embedder + canonical landmarks (shared by bench.py
     and tools/profile_pipeline.py so the profiled model can't drift from the
     benchmarked one). Returns ``(detector, embedder, base_pts, dtype)``.
@@ -77,9 +79,12 @@ def build_serving_models(bf16: bool = True, detector_kind: str = "mobile",
         det_backbone = BackboneWithFPN(
             backbone=resnet50(features_only=True, frozen_stats=True,
                               dtype=dtype, quant=detector_quant),
-            dtype=dtype,
+            dtype=dtype, quant=detector_quant if quant_fpn else None,
         )
-    detector = GeneralizedRCNN(backbone=det_backbone, cfg=det_cfg, dtype=dtype)
+    detector = GeneralizedRCNN(
+        backbone=det_backbone, cfg=det_cfg, dtype=dtype,
+        quant=detector_quant if quant_rpn else None,
+        quant_kp=kp_head_quant)
     embedder = resnet50_embedder(embedding_dim=512, dtype=dtype,
                                  quant=embedder_quant)
     base_pts = jnp.asarray([[70.0, 92.0], [154.0, 92.0], [112.0, 160.0]])
@@ -90,7 +95,9 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
                    detector_kind: str = "mobile", rpn_pre: int = 128,
                    rpn_post: int = 16, band: int = 80,
                    warp_dtype: str = "bfloat16", input_dtype: str = "bfloat16",
-                   int8_detector: bool = False, int8_embedder: bool = False):
+                   int8_detector: bool = False, int8_embedder: bool = False,
+                   int8_detector_scope: str = "rpn",
+                   int8_kp_head: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -100,10 +107,18 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
 
     det_q = "int8" if (int8_detector and detector_kind == "resnet50") else None
     emb_q = "int8" if int8_embedder else None
+    # measured (PERF.md round 3): trunk 2344 / trunk+fpn 2460 / trunk+rpn 2491
+    # / full 1832 crops/s — fpn and rpn each WIN but their composition hits a
+    # remote-XLA scheduling pathology (+21 ms in the downstream RoI stages);
+    # "rpn" is the production scope until the compiler moves
+    q_fpn = int8_detector_scope in ("fpn", "full")
+    q_rpn = int8_detector_scope in ("rpn", "full")
+    kp_q = "int8" if int8_kp_head else None
     detector, embedder, base_pts, dtype = build_serving_models(
         bf16=bf16, detector_kind=detector_kind, rpn_pre=rpn_pre,
-        rpn_post=rpn_post, detector_quant=det_q, embedder_quant=emb_q)
-    if det_q or emb_q:
+        rpn_post=rpn_post, detector_quant=det_q, embedder_quant=emb_q,
+        quant_fpn=q_fpn, quant_rpn=q_rpn, kp_head_quant=kp_q)
+    if det_q or emb_q or kp_q:
         # calibrate twins: same trees, real-precision forward; their init IS
         # the calibration pass (models/quant.py), the int8 twins then consume
         # the resulting variables
@@ -111,7 +126,9 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
             bf16=bf16, detector_kind=detector_kind, rpn_pre=rpn_pre,
             rpn_post=rpn_post,
             detector_quant="calibrate" if det_q else None,
-            embedder_quant="calibrate" if emb_q else None)
+            embedder_quant="calibrate" if emb_q else None,
+            quant_fpn=q_fpn, quant_rpn=q_rpn,
+            kp_head_quant="calibrate" if kp_q else None)
     else:
         det_init, emb_init = detector, embedder
 
@@ -238,6 +255,21 @@ def main():
     parser.add_argument("--int8-detector", action="store_true",
                         help="int8 PTQ trunk for the resnet50 detector "
                              "backbone (models/quant.py; no-op for mobile)")
+    parser.add_argument("--int8-detector-scope",
+                        choices=("trunk", "fpn", "rpn", "full"),
+                        default="rpn",
+                        help="which detector stages run int8 under "
+                             "--int8-detector: trunk only, trunk+FPN, "
+                             "trunk+RPN (default — fastest, see PERF.md), "
+                             "or all (regresses: XLA composition pathology)")
+    parser.add_argument("--int8-kp-head", dest="int8_kp_head",
+                        action="store_true", default=True,
+                        help="int8 PTQ for the keypoint head's 8-conv chain "
+                             "(both detector kinds; models/quant.py; "
+                             "default ON — mobile 5832→6537 crops/s)")
+    parser.add_argument("--no-int8-kp-head", dest="int8_kp_head",
+                        action="store_false",
+                        help="keypoint head conv chain in the compute dtype")
     parser.add_argument("--int8-embedder", dest="int8_embedder",
                         action="store_true", default=True,
                         help="int8 PTQ trunk for the ResNet-50 embedder "
@@ -260,7 +292,9 @@ def main():
                                       warp_dtype=args.warp_dtype,
                                       input_dtype=args.input_dtype,
                                       int8_detector=args.int8_detector,
-                                      int8_embedder=args.int8_embedder)
+                                      int8_embedder=args.int8_embedder,
+                                      int8_detector_scope=args.int8_detector_scope,
+                                      int8_kp_head=args.int8_kp_head)
     # compile + warmup
     out = pipeline(images)
     jax.block_until_ready(out)

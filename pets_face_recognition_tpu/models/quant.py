@@ -97,6 +97,7 @@ class QuantConv(nn.Module):
     padding: Any = ((0, 0), (0, 0))
     dtype: Any = jnp.bfloat16
     calibrate: bool = False
+    use_bias: bool = False  # bias added post-dequant (fused epilogue)
 
     @nn.compact
     def __call__(self, x, s_x=None):
@@ -105,6 +106,9 @@ class QuantConv(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), kshape, jnp.float32
         )
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
         kernel_q = self.variable(
             QUANT_COLLECTION, "kernel_q", lambda: jnp.zeros(kshape, jnp.int8)
         )
@@ -116,11 +120,12 @@ class QuantConv(nn.Module):
             ws = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12)
             w_scale.value = ws
             kernel_q.value = quantize_symmetric(kernel, ws)
-            return jax.lax.conv_general_dilated(
+            y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 window_strides=tuple(self.strides), padding=self.padding,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
+            return y + bias.astype(self.dtype) if bias is not None else y
         assert x.dtype == jnp.int8, "int8 mode expects ActQuant output"
         yq = jax.lax.conv_general_dilated(
             x, kernel_q.value,
@@ -132,4 +137,7 @@ class QuantConv(nn.Module):
         # on top of the quantization error), cast once at the end; XLA fuses
         # the whole epilogue into one pass
         scale = (s_x * w_scale.value) * (1.0 / (127.0 * 127.0))
-        return (yq.astype(jnp.float32) * scale).astype(self.dtype)
+        y = yq.astype(jnp.float32) * scale
+        if bias is not None:
+            y = y + bias
+        return y.astype(self.dtype)

@@ -78,12 +78,18 @@ class GeneralizedRCNN(nn.Module):
     # predictor logits are always float32) — bfloat16 on TPU halves the head
     # activation HBM traffic
     dtype: Any = jnp.float32
+    # None | "calibrate" | "int8": serving int8 PTQ for the RPN's shared 3×3
+    # conv (models/quant.py). Backbone/FPN carry their own quant flags.
+    quant: Any = None
+    # same, for the keypoint head's 8-conv chain (independent knob: the RPN
+    # flag needs an int8 backbone to pay off, the kp head pays off alone)
+    quant_kp: Any = None
 
     def setup(self):
         c = self.cfg
         self.rpn_head = RPNHead(
             num_anchors=len(c.anchor_sizes[0]) * len(c.aspect_ratios),
-            dtype=self.dtype, name="rpn"
+            dtype=self.dtype, quant=self.quant, name="rpn"
         )
         self.box_head = rh.TwoMLPHead(dtype=self.dtype, name="box_head")
         self.box_predictor = rh.FastRCNNPredictor(c.num_classes,
@@ -94,6 +100,7 @@ class GeneralizedRCNN(nn.Module):
         if c.num_keypoints:
             self.keypoint_head = rh.KeypointHead(c.num_keypoints,
                                                  dtype=self.dtype,
+                                                 quant=self.quant_kp,
                                                  name="keypoint_head")
 
     # ------------------------------------------------------------------ #

@@ -90,19 +90,43 @@ class MaskHead(nn.Module):
 
 class KeypointHead(nn.Module):
     """8×(conv3x3 512) → deconv(4,2) → 2x bilinear upsample → K heatmaps
-    (torchvision KeypointRCNNHeads + KeypointRCNNPredictor)."""
+    (torchvision KeypointRCNNHeads + KeypointRCNNPredictor).
+
+    ``quant`` (None | "calibrate" | "int8"): serving int8 PTQ for the conv
+    chain (``models/quant.py``) — at serving budgets the 8×conv3x3@512 stack
+    is ~0.9 TFLOP/batch, the largest single MXU consumer in the pipeline
+    (PERF.md round 3). Each conv's dequant+relu+requant epilogue fuses, so
+    inter-conv activations stay int8-resident; params tree unchanged
+    (kernel+bias per conv → torchvision converters untouched). The deconv
+    predictor stays float32: its output feeds the sub-pixel bicubic argmax
+    refine directly.
+    """
 
     num_keypoints: int
     channels: int = 512
     dtype: Any = jnp.float32
+    quant: Any = None
 
     @nn.compact
     def __call__(self, x):
-        for i in range(8):
-            x = nn.relu(
-                nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                        dtype=self.dtype, name=f"kps_fcn{i + 1}")(x)
-            )
+        if self.quant is not None:
+            from .quant import ActQuant, QuantConv
+
+            cal = self.quant == "calibrate"
+            for i in range(8):
+                xq, s = ActQuant(calibrate=cal, name=f"kps_q{i + 1}")(x)
+                x = nn.relu(
+                    QuantConv(self.channels, (3, 3),
+                              padding=((1, 1), (1, 1)), dtype=self.dtype,
+                              use_bias=True, calibrate=cal,
+                              name=f"kps_fcn{i + 1}")(xq, s)
+                )
+        else:
+            for i in range(8):
+                x = nn.relu(
+                    nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                            dtype=self.dtype, name=f"kps_fcn{i + 1}")(x)
+                )
         # torch ConvTranspose2d(k=4, s=2, p=1) == flax padding (k-1-p)=2 with
         # transpose_kernel=True — verified numerically
         x = nn.ConvTranspose(self.num_keypoints, (4, 4), strides=(2, 2),

@@ -23,18 +23,39 @@ import jax.numpy as jnp
 from ..losses import optax_sigmoid_ce, smooth_l1
 from ..ops.boxes import clip_boxes, decode_boxes, encode_boxes, pairwise_iou
 from ..ops.nms import nms
+from .quant import ActQuant, QuantConv
 
 
 class RPNHead(nn.Module):
-    """Shared 3×3 conv + 1×1 objectness / box-delta heads (torchvision RPNHead)."""
+    """Shared 3×3 conv + 1×1 objectness / box-delta heads (torchvision RPNHead).
+
+    ``quant`` (None | "calibrate" | "int8"): serving int8 PTQ for the shared
+    3×3 conv — the p2-level 80² 256-ch conv is ~half the quality pipeline's
+    FLOPs (PERF.md). The 1×1 predictor heads stay in the compute dtype: their
+    contraction is tiny (MXU-starved either way) and the logits/deltas feed
+    threshold comparisons directly. The shared conv's activation scale is a
+    single running max across all pyramid levels (one module, called per
+    level).
+    """
 
     num_anchors: int
     dtype: Any = jnp.float32
+    quant: Any = None
 
     @nn.compact
     def __call__(self, feats: dict[str, jnp.ndarray]):
-        conv = nn.Conv(feats[next(iter(feats))].shape[-1], (3, 3),
-                       padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv")
+        C = feats[next(iter(feats))].shape[-1]
+        if self.quant is not None:
+            cal = self.quant == "calibrate"
+            aq = ActQuant(calibrate=cal, name="conv_q")
+            qconv = QuantConv(C, (3, 3), padding=((1, 1), (1, 1)),
+                              dtype=self.dtype, use_bias=True, calibrate=cal,
+                              name="conv")
+            conv = lambda x: qconv(*aq(x))  # noqa: E731
+        else:
+            _conv = nn.Conv(C, (3, 3), padding=[(1, 1), (1, 1)],
+                            dtype=self.dtype, name="conv")
+            conv = _conv
         cls = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
                       name="cls_logits")
         reg = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,

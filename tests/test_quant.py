@@ -75,6 +75,79 @@ def test_int8_backbone_close_to_float():
         assert c > 0.99, (lvl, c)
 
 
+def test_int8_fpn_and_rpn_head_close_to_float():
+    """FPN + RPN-head quant twins: same params tree, outputs cosine>0.99."""
+    import flax.linen as nn
+
+    from pets_face_recognition_tpu.models.fpn import FPN
+    from pets_face_recognition_tpu.models.rpn import RPNHead
+
+    rng = jax.random.PRNGKey(6)
+    feats = {
+        "c2": jax.random.normal(jax.random.PRNGKey(7), (2, 16, 16, 32)),
+        "c3": jax.random.normal(jax.random.PRNGKey(8), (2, 8, 8, 64)),
+    }
+    kw = dict(out_channels=64, in_levels=("c2", "c3"))
+    f_float = FPN(**kw)
+    f_cal = FPN(**kw, quant="calibrate")
+    f_int8 = FPN(**kw, quant="int8")
+    v = f_cal.init(rng, feats)
+    pf = jax.tree_util.tree_map(lambda a: a.shape,
+                                f_float.init(rng, feats)["params"])
+    pq = jax.tree_util.tree_map(lambda a: a.shape, v["params"])
+    assert pf == pq  # bias + kernel trees identical → converters untouched
+    ref = f_float.apply({"params": v["params"]}, feats)
+    out = f_int8.apply(v, feats)
+    for p in ref:
+        assert _cos(ref[p], out[p]) > 0.99, p
+
+    pyramids = {k: jnp.asarray(x, jnp.float32) for k, x in ref.items()}
+    h_float = RPNHead(num_anchors=3)
+    h_cal = RPNHead(num_anchors=3, quant="calibrate")
+    h_int8 = RPNHead(num_anchors=3, quant="int8")
+    vh = h_cal.init(rng, pyramids)
+    phf = jax.tree_util.tree_map(lambda a: a.shape,
+                                 h_float.init(rng, pyramids)["params"])
+    phq = jax.tree_util.tree_map(lambda a: a.shape, vh["params"])
+    assert phf == phq
+    lo_ref, de_ref = h_float.apply({"params": vh["params"]}, pyramids)
+    lo, de = h_int8.apply(vh, pyramids)
+    assert _cos(lo_ref, lo) > 0.99
+    assert _cos(de_ref, de) > 0.99
+
+
+def test_int8_keypoint_head_close_to_float():
+    """Keypoint-head quant twin: same params tree; heatmap logits cosine>0.99
+    and the argmax cell (what the decode consumes) agrees on ≥90% of RoIs."""
+    from pets_face_recognition_tpu.models.roi_heads import KeypointHead
+
+    rng = jax.random.PRNGKey(9)
+    x = jax.random.normal(jax.random.PRNGKey(10), (8, 14, 14, 256))
+    kw = dict(num_keypoints=3, channels=64)
+    h_float = KeypointHead(**kw)
+    h_cal = KeypointHead(**kw, quant="calibrate")
+    h_int8 = KeypointHead(**kw, quant="int8")
+    v = h_cal.init(rng, x)
+    pf = jax.tree_util.tree_map(lambda a: a.shape,
+                                h_float.init(rng, x)["params"])
+    pq = jax.tree_util.tree_map(lambda a: a.shape, v["params"])
+    assert pf == pq  # converters untouched
+    ref = h_float.apply({"params": v["params"]}, x)
+    out = h_int8.apply(v, x)
+    assert _cos(ref, out) > 0.99
+    r = np.asarray(ref, np.float32).reshape(8, -1, ref.shape[-1])
+    o = np.asarray(out, np.float32).reshape(8, -1, out.shape[-1])
+    # random-init heatmaps are nearly flat, so exact argmax agreement is the
+    # wrong bar; instead require every disagreement to be a NEAR-TIE in the
+    # float logits (the int8 path may only flip cells the float path could
+    # not tell apart)
+    ra, oa = r.argmax(axis=1), o.argmax(axis=1)
+    span = r.max(axis=1) - r.min(axis=1)
+    gap = (np.take_along_axis(r, ra[:, None, :], 1)
+           - np.take_along_axis(r, oa[:, None, :], 1))[:, 0, :]
+    assert np.all(gap <= 0.05 * span + 1e-6), (gap / span)
+
+
 def test_int8_embedder_embedding_drift():
     """FE trunk int8: embeddings of distinct crops keep cosine>0.99 to float
     and preserve their pairwise-similarity ordering (the retrieval contract)."""
