@@ -33,9 +33,11 @@ class RPNHead(nn.Module):
     3×3 conv — the p2-level 80² 256-ch conv is ~half the quality pipeline's
     FLOPs (PERF.md). The 1×1 predictor heads stay in the compute dtype: their
     contraction is tiny (MXU-starved either way) and the logits/deltas feed
-    threshold comparisons directly. The shared conv's activation scale is a
-    single running max across all pyramid levels (one module, called per
-    level).
+    threshold comparisons directly. The shared conv's activation scale is
+    PER-LEVEL (one ActQuant per pyramid level): p2 vs p6 magnitudes differ a
+    lot, and a shared per-tensor scale would waste int8 resolution on the
+    low-magnitude levels. Scales live in the ``quant`` collection, so the
+    ``params`` tree (and the torchvision converters) are unaffected.
     """
 
     num_anchors: int
@@ -47,22 +49,24 @@ class RPNHead(nn.Module):
         C = feats[next(iter(feats))].shape[-1]
         if self.quant is not None:
             cal = self.quant == "calibrate"
-            aq = ActQuant(calibrate=cal, name="conv_q")
             qconv = QuantConv(C, (3, 3), padding=((1, 1), (1, 1)),
                               dtype=self.dtype, use_bias=True, calibrate=cal,
                               name="conv")
-            conv = lambda x: qconv(*aq(x))  # noqa: E731
+
+            def conv(x, lvl):
+                aq = ActQuant(calibrate=cal, name=f"conv_q_{lvl}")
+                return qconv(*aq(x))
         else:
             _conv = nn.Conv(C, (3, 3), padding=[(1, 1), (1, 1)],
                             dtype=self.dtype, name="conv")
-            conv = _conv
+            conv = lambda x, lvl: _conv(x)  # noqa: E731
         cls = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
                       name="cls_logits")
         reg = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
                       name="bbox_pred")
         logits, deltas = [], []
         for lvl in sorted(feats):
-            t = nn.relu(conv(feats[lvl]))
+            t = nn.relu(conv(feats[lvl], lvl))
             B = t.shape[0]
             logits.append(cls(t).reshape(B, -1))
             deltas.append(reg(t).reshape(B, -1, 4))

@@ -167,6 +167,18 @@ def warp_affine_batch_pallas(
     rate at ~0.5% pixel quantization (below JPEG noise); ``float32`` on TPU
     still runs bf16 MXU passes under the default XLA precision but keeps f32
     weight/mask construction.
+
+    CONTRACT (near-affine precondition): the band/chunk liveness estimates
+    normalize ``inv(H)`` by its ``[2, 2]`` entry and assume the resulting
+    denominator ``wi·i + wj·j + 1`` stays POSITIVE over the whole output crop
+    (equivalently: the crop does not straddle the homography's horizon line).
+    Alignment maps — rounded-centroid projective corrections on top of a
+    similarity — satisfy this by construction (|wi|,|wj| ~ 1e-3,
+    ``inv(H)[2,2]`` ~ 1). A strongly projective or sign-flipping ``H`` would
+    silently zero the rows whose liveness was mis-estimated rather than raise;
+    callers feeding non-alignment homographies must check
+    ``den > 0`` at the four crop corners host-side first (it cannot be
+    asserted here: ``H`` is a traced value under jit).
     """
     B, src_h, src_w, C = images.shape
     if C > 1 and src_h % 8:

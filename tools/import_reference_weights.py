@@ -162,7 +162,18 @@ def import_checkpoint(ckpt_path: Path, kind: str, epoch: int, out_dir: Path) -> 
 
     from pets_face_recognition_tpu.utils.torch_convert import state_dict_to_numpy
 
-    sd = torch.load(ckpt_path, map_location="cpu")
+    # the downloaded zip is untrusted public content: weights_only=True keeps
+    # unpickling tensor-only regardless of the torch version's default (on
+    # torch<2.6 the default is arbitrary-code-execution)
+    try:
+        sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+    except Exception as e:  # pickle.UnpicklingError subclass varies by version
+        raise RuntimeError(
+            f"{ckpt_path}: failed under weights_only=True — the checkpoint "
+            "contains non-tensor python objects (e.g. lightning hyperparams). "
+            "Re-export a plain state_dict, or inspect the file before loading "
+            "it with weights_only=False."
+        ) from e
     if not isinstance(sd, dict):
         raise TypeError(f"{ckpt_path}: expected a state dict")
     if "state_dict" in sd:  # lightning-wrapped export variant
