@@ -16,6 +16,7 @@ from pathlib import Path
 import jax
 
 from pets_face_recognition_tpu.engine import latest_checkpoint, load_params
+from pets_face_recognition_tpu.models import ptq
 from pets_face_recognition_tpu.models.rcnn import (
     keypointrcnn_resnet50_fpn,
     maskrcnn_resnet50_fpn,
@@ -33,7 +34,7 @@ def _resolve(env: str, default: str) -> Path:
     return path
 
 
-def _jitted_forward(model, ckpt_path: Path):
+def _load_unwrapped(ckpt_path: Path):
     params, batch_stats = load_params(ckpt_path)
     # training wraps the detector in the config's loss module
     # (``SumDetectionLoss(model=...)``), so checkpoint params live under
@@ -43,6 +44,11 @@ def _jitted_forward(model, ckpt_path: Path):
     if isinstance(params, dict) and set(params) <= {"model"}:
         params = params.get("model", {})
         batch_stats = batch_stats.get("model", batch_stats)
+    return params, batch_stats
+
+
+def _jitted_forward(model, ckpt_path: Path):
+    params, batch_stats = _load_unwrapped(ckpt_path)
     variables = {"params": params, "batch_stats": batch_stats}
 
     @jax.jit
@@ -50,6 +56,29 @@ def _jitted_forward(model, ckpt_path: Path):
         return model.apply(variables, images, train=False)
 
     return model_fn
+
+
+def _detector_fn(name: str, build_fn, ckpt_path: Path):
+    """Float / calibrate / int8 detector forward per the process quant mode
+    (``models/ptq.py``): ``build_fn(quant, quant_kp)`` builds the model."""
+    import numpy as np
+
+    mode = ptq.quant_mode()
+    comps = ptq.quant_components()
+    det_q = mode if (mode and "detector" in comps) else None
+    kp_q = mode if (mode and "kp_head" in comps) else None
+    if det_q is None and kp_q is None:
+        return _jitted_forward(build_fn(None, None), ckpt_path)
+
+    params, batch_stats = _load_unwrapped(ckpt_path)
+    runner = ptq.PTQServing(
+        name=name,
+        build_fn=lambda m: build_fn(m if det_q else None,
+                                    m if kp_q else None),
+        params=params, batch_stats=batch_stats,
+        example=np.zeros((1, *_INPUT_SIZE, 3), np.float32),
+    )
+    return ptq.PTQModelFn(runner, mode)
 
 
 # Dataset-version ablation checkpoints (reference Preproc7-13 each hard-code a
@@ -68,15 +97,37 @@ KEYPOINT_VARIANTS = {
 def keypoint_pipeline(variant: str = "prod"):
     env, default = KEYPOINT_VARIANTS[variant]
     ckpt = _resolve(env, default)
-    model = keypointrcnn_resnet50_fpn(num_classes=2, num_keypoints=3,
-                                      box_detections_per_img=1)
-    return _jitted_forward(model, ckpt)
+    arch = os.environ.get("PFR_KEYPOINT_ARCH", "resnet50")
+    if arch == "mobile":
+        # the reference's lightweight serving factory
+        # (models/detection/rcnn.py:104-126) — checkpoint must match
+        # (train configs/smoke/keypoint_mobile_smoke.py or import real
+        # weights); its MBv3 trunk has no int8 path, quant_kp still applies
+        from pets_face_recognition_tpu.models.rcnn import (
+            mobile_net_v3_large_keypoint_rcnn,
+        )
+
+        return _detector_fn(
+            f"det_keypoint_mobile_{variant}",
+            lambda q, qkp: mobile_net_v3_large_keypoint_rcnn(quant_kp=qkp),
+            ckpt)
+    if arch != "resnet50":
+        raise ValueError(f"PFR_KEYPOINT_ARCH={arch!r}: resnet50 | mobile")
+    return _detector_fn(
+        f"det_keypoint_{variant}",
+        lambda q, qkp: keypointrcnn_resnet50_fpn(
+            num_classes=2, num_keypoints=3, box_detections_per_img=1,
+            quant=q, quant_kp=qkp),
+        ckpt)
 
 
 def mask_pipeline():
     ckpt = _resolve("PFR_MASK_CKPT", "results/mask/checkpoints")
-    model = maskrcnn_resnet50_fpn(num_classes=2, box_detections_per_img=3)
-    return _jitted_forward(model, ckpt)
+    return _detector_fn(
+        "det_mask",
+        lambda q, qkp: maskrcnn_resnet50_fpn(
+            num_classes=2, box_detections_per_img=3, quant=q),
+        ckpt)
 
 
 input_size = _INPUT_SIZE

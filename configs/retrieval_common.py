@@ -31,13 +31,14 @@ pipelines = _ilu.module_from_spec(_spec)
 _spec.loader.exec_module(pipelines)
 
 
-def _embedder_fn(env: str, default: str):
+def _embedder_fn(name: str, env: str, default: str, input_hw: int = 224):
+    from pets_face_recognition_tpu.models import ptq
+
     path = Path(os.environ.get(env, default))
     if path.is_dir() and not (path / "_CHECKPOINT_METADATA").exists():
         found = latest_checkpoint(path)
         if found is not None:
             path = found
-    model = resnet50_embedder(embedding_dim=512)
     params, batch_stats = load_params(path)
     # FE checkpoints store the SoftmaxBasedMetricLearning tree; the embedder
     # lives under 'model' (margin head dropped for inference, ref
@@ -45,6 +46,20 @@ def _embedder_fn(env: str, default: str):
     if "model" in params:
         params = params["model"]
         batch_stats = batch_stats.get("model", batch_stats)
+
+    # serving int8 PTQ (models/ptq.py): calibrate records ranges while
+    # returning the float embeddings; int8 serves the quantized trunk
+    mode = ptq.quant_mode()
+    if mode and "embedder" in ptq.quant_components():
+        runner = ptq.PTQServing(
+            name=name,
+            build_fn=lambda m: resnet50_embedder(embedding_dim=512, quant=m),
+            params=params, batch_stats=batch_stats,
+            example=np.zeros((1, input_hw, input_hw, 3), np.float32),
+        )
+        return ptq.PTQModelFn(runner, mode)
+
+    model = resnet50_embedder(embedding_dim=512)
     variables = {"params": params, "batch_stats": batch_stats}
 
     @jax.jit
@@ -60,10 +75,12 @@ def build_pipelines(fe_ckpts: dict[str, tuple[str, str]]):
     ``fe_ckpts`` maps ``{"cat_head", "dog_head", "cat_body", "dog_body"}`` to
     ``(env_var, default_path)`` pairs. Animal type: 1 = dog, 2 = cat.
     """
-    cat_head_fe = _embedder_fn(*fe_ckpts["cat_head"])
-    dog_head_fe = _embedder_fn(*fe_ckpts["dog_head"])
-    cat_body_fe = _embedder_fn(*fe_ckpts["cat_body"])
-    dog_body_fe = _embedder_fn(*fe_ckpts["dog_body"])
+    cat_head_fe = _embedder_fn("fe_cat_head", *fe_ckpts["cat_head"])
+    dog_head_fe = _embedder_fn("fe_dog_head", *fe_ckpts["dog_head"])
+    cat_body_fe = _embedder_fn("fe_cat_body", *fe_ckpts["cat_body"],
+                               input_hw=256)
+    dog_body_fe = _embedder_fn("fe_dog_body", *fe_ckpts["dog_body"],
+                               input_hw=256)
 
     # detection score threshold: reference hard-codes the Preproc defaults
     # (0.9); PFR_RETRIEVAL_THR relaxes it for smoke-corpus drives where the
@@ -74,6 +91,14 @@ def build_pipelines(fe_ckpts: dict[str, tuple[str, str]]):
                         dsize=(224, 224, 3))
     preproc4 = Preproc4(loader=pipelines.mask_pipeline, thr=thr)
 
+    def _maybe_bf16(x):
+        # PFR_INPUT_DTYPE=bfloat16: bf16-resident crop at the embed boundary
+        # (mirrors bench.py --input-dtype; quality axis measured by
+        # tools/quality_instrument.py)
+        if os.environ.get("PFR_INPUT_DTYPE", "float32") == "bfloat16":
+            return x.astype(jnp.bfloat16)
+        return x
+
     def head_pipeline(img: np.ndarray, animal_type: int):
         """detect head → align → FE → 512-d vector, or None on failure
         (ref ``generate_tsv_to_reproduce1.py:203-210``)."""
@@ -81,7 +106,7 @@ def build_pipelines(fe_ckpts: dict[str, tuple[str, str]]):
             aligned = preproc3(img)
         except (AssertionError, ValueError, OSError):
             return None
-        x = jnp.asarray(aligned[None], jnp.float32) / 255.0
+        x = _maybe_bf16(jnp.asarray(aligned[None], jnp.float32) / 255.0)
         fe = dog_head_fe if animal_type == 1 else cat_head_fe
         return np.asarray(fe(x))[0]
 
@@ -96,7 +121,7 @@ def build_pipelines(fe_ckpts: dict[str, tuple[str, str]]):
             resize_with_padding(Image.fromarray(crop.astype(np.uint8)),
                                 (256, 256))
         )
-        x = jnp.asarray(padded[None], jnp.float32) / 255.0
+        x = _maybe_bf16(jnp.asarray(padded[None], jnp.float32) / 255.0)
         fe = dog_body_fe if animal_type == 1 else cat_body_fe
         return np.asarray(fe(x))[0]
 
