@@ -241,12 +241,17 @@ def build_keypoint_config(
     output: str = "results",
     num_workers: int = 8,
     fixtures_dir: str = ".",
+    arch: str = "resnet50",
 ) -> dict:
     """Keypoint R-CNN head+landmark config (reference
     ``configs/keypoint/keypoints_config.py``): CAT_DATASET 3-landmark files with
     an 80/20 split + rot90 augmentation, concatenated with the two curated
     dog-annotation fixtures (``paths{,2}.pickle``/``others{,2}.pickle`` over
-    data_25 images, ref ``:52-64``) when present; 3 keypoints, 1 det/img."""
+    data_25 images, ref ``:52-64``) when present; 3 keypoints, 1 det/img.
+
+    ``arch``: "resnet50" (production quality model) or "mobile" (the
+    reference's lightweight MobileNetV3 serving factory,
+    ``models/detection/rcnn.py:104-126``)."""
     import pickle
 
     from .data_loading import ConcatDataset
@@ -287,6 +292,10 @@ def build_keypoint_config(
                                num_keypoints=3)
 
     def model():
+        if arch == "mobile":
+            from .models.rcnn import mobile_net_v3_large_keypoint_rcnn
+
+            return mobile_net_v3_large_keypoint_rcnn()
         return keypointrcnn_resnet50_fpn(num_classes=2, num_keypoints=3,
                                          box_detections_per_img=1)
 
@@ -316,5 +325,7 @@ def build_keypoint_config(
         image_size=image_size, max_boxes=max_boxes,
         model=model, loss=loss, optimizer=optimizer,
         train_dataloader=train_dataloader, val_dataloader=val_dataloader,
-        output=out, experiment_name="Keypoints", run_name="keypoint_rcnn",
+        output=out, experiment_name="Keypoints",
+        run_name=("keypoint_rcnn" if arch == "resnet50"
+                  else f"keypoint_rcnn_{arch}"),
     )

@@ -47,16 +47,18 @@ class InvertedResidual(nn.Module):
     use_se: bool
     use_hs: bool
     dtype: Any = jnp.float32
+    frozen_stats: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = _hard_swish if self.use_hs else nn.relu
+        use_ra = (not train) or self.frozen_stats
         # eval-mode BN is scale+shift: keep it in compute dtype so the block
         # stays bfloat16 end to end (see resnet.py BN note); batch-stat
         # training mode stays float32
         norm = lambda name: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.99, epsilon=1e-3,
-            dtype=jnp.float32 if train else self.dtype, name=name)
+            use_running_average=use_ra, momentum=0.99, epsilon=1e-3,
+            dtype=jnp.float32 if not use_ra else self.dtype, name=name)
         inp = x.shape[-1]
         y = x
         if self.exp != inp:
@@ -142,12 +144,14 @@ class MobileNetV3Large(nn.Module):
     num_classes: int = 0
     features_only: bool = False
     dtype: Any = jnp.float32
+    frozen_stats: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        use_ra = (not train) or self.frozen_stats
         norm = lambda name: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.99, epsilon=1e-3,
-            dtype=jnp.float32 if train else self.dtype, name=name)
+            use_running_average=use_ra, momentum=0.99, epsilon=1e-3,
+            dtype=jnp.float32 if not use_ra else self.dtype, name=name)
         if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             kernel = _StemKernel(in_ch=x.shape[-1], name="stem")()
             x = _fused_stem_conv(x, kernel, self.dtype)
@@ -158,6 +162,7 @@ class MobileNetV3Large(nn.Module):
         feats = {}
         for i, (exp, out, k, s, se, hs) in enumerate(_MBV3_LARGE):
             x = InvertedResidual(exp, out, k, s, se, hs, dtype=self.dtype,
+                                 frozen_stats=self.frozen_stats,
                                  name=f"block{i}")(x, train=train)
             if i in _TAPS:
                 feats[_TAPS[i]] = x

@@ -60,6 +60,17 @@ DEFAULT_BASE_PTS = np.array([[70.0, 92.0], [154.0, 92.0], [112.0, 160.0]],
                             np.float32)
 
 
+def _input_dtype() -> str:
+    """Device-boundary input dtype knob (``PFR_INPUT_DTYPE``: float32 |
+    bfloat16) — the pipeline analog of ``bench.py --input-dtype``."""
+    import os
+
+    v = os.environ.get("PFR_INPUT_DTYPE", "float32")
+    if v not in ("float32", "bfloat16"):
+        raise ValueError(f"PFR_INPUT_DTYPE={v!r}: float32 | bfloat16")
+    return v
+
+
 def _affine_h(scale: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray):
     """(3,3) homography for ``dst = src * scale + (tx, ty)``."""
     z = jnp.zeros_like(scale)
@@ -167,7 +178,14 @@ class _ModelPipeline:
                 f"chunk of {n} images exceeds serve_batch={self.serve_batch}")
             pad = np.zeros((self.serve_batch - n, *batch.shape[1:]), np.float32)
             batch = np.concatenate([batch, pad])
-        dets = self.model_fn(jnp.asarray(batch))
+        x = jnp.asarray(batch)
+        if _input_dtype() == "bfloat16":
+            # bf16-resident device input (the serving default in bench.py):
+            # one 2^-9-relative pixel rounding at the boundary; models upcast
+            # to their compute dtype. Quality impact measured by
+            # tools/quality_instrument.py (PERF.md round-4 table).
+            x = x.astype(jnp.bfloat16)
+        dets = self.model_fn(x)
         out = {k: np.asarray(v)[:n] for k, v in jax.device_get(dets).items()}
         return out, n, scales, pads
 

@@ -239,6 +239,88 @@ def make_kashtanka_test(root: Path, n_pairs: int = 5, n_extra: int = 3,
     return out
 
 
+def make_kashtanka_hard(root: Path, n_ids: int = 120, n_clusters: int = 12,
+                        n_distractors: int = 180, n_imgs: int = 3,
+                        seed: int = 9) -> Path:
+    """HARD retrieval corpus: near-duplicate identities as a quality
+    instrument (VERDICT r3 #3).
+
+    The easy smoke test split saturates candR@K=1.0 on separable identities,
+    so it cannot measure fidelity deltas (float vs int8, detector choice,
+    input dtype). This corpus makes the ranking problem genuinely hard while
+    staying inside the smoke detectors' training distribution:
+
+    - identity signatures are drawn from ``n_clusters`` appearance clusters
+      with SMALL within-cluster spread — every identity has ~``n_ids /
+      n_clusters`` near-duplicate confusers;
+    - per-image tint jitter on the same scale as the identity spread
+      (lighting), plus face position/scale variation;
+    - a second identity cue besides color: the inter-eye distance ``d`` is an
+      identity trait with per-image jitter, so embeddings must combine cues.
+
+    Layout: the exact ``test/{found,lost}/{initial,extra}`` tree the
+    ``generate_tsv*`` walkers consume — queries are ``lost/lost`` cards, the
+    gallery is ``lost/extra_lost`` = one true-match card per query
+    (same identity, fresh images) + ``n_distractors`` distractor cards from
+    the same clusters. Ground truth (query → its match) lands in
+    ``<root>/hard_gt.json``. A minimal ``found`` side keeps the walker happy.
+    """
+    import json
+
+    rng = np.random.RandomState(seed)
+    out = root / "test_hard"
+    centers = rng.uniform(45, 105, (n_clusters, 3))
+
+    def _identity():
+        c = centers[rng.randint(n_clusters)]
+        tint = np.clip(c + rng.normal(0, 5, 3), 35, 115)
+        d_eye = rng.randint(32, 56)
+        return tint, d_eye
+
+    def _image(tint, d_eye, size=320):
+        img = np.clip(tint[None, None, :]
+                      + rng.normal(0, 8, 3)[None, None, :]   # lighting
+                      + rng.normal(0, 12, (size, size, 3)), 0, 255
+                      ).astype(np.uint8)
+        cx, cy = rng.randint(size // 3, 2 * size // 3, 2)
+        d = max(20, d_eye + rng.randint(-3, 4))
+        pts = [(cx - d, cy), (cx + d, cy), (cx, cy + int(1.2 * d))]
+        yy, xx = np.mgrid[:size, :size]
+        for (x, y), col in zip(pts, ((255, 255, 255), (255, 255, 255),
+                                     (255, 128, 128))):
+            m = (xx - x) ** 2 + (yy - y) ** 2 < 36
+            img[m] = col
+        return img
+
+    def _card(d: Path, animal: int, tint, d_eye):
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "card.json").write_text('{"animal": %d}' % animal)
+        for j in range(n_imgs):
+            Image.fromarray(_image(tint, d_eye)).save(d / f"{j}.jpg",
+                                                      quality=92)
+
+    gt = {}
+    for i in range(n_ids):
+        tint, d_eye = _identity()
+        animal = 1 + i % 2
+        q, m = f"rl{900000 + i}", f"rf{950000 + i}"
+        _card(out / "lost" / "lost" / q, animal, tint, d_eye)
+        _card(out / "lost" / "extra_lost" / m, animal, tint, d_eye)
+        gt[q] = m
+    for i in range(n_distractors):
+        tint, d_eye = _identity()
+        _card(out / "lost" / "extra_lost" / f"rf{960000 + i}", 1 + i % 2,
+              tint, d_eye)
+    # minimal found side (the walker requires both big folders)
+    for i in range(2):
+        tint, d_eye = _identity()
+        _card(out / "found" / "found" / f"rf{990000 + i}", 1 + i, tint, d_eye)
+        _card(out / "found" / "extra_found" / f"rf{991000 + i}", 1 + i,
+              tint, d_eye)
+    (root / "hard_gt.json").write_text(json.dumps(gt, indent=0))
+    return out
+
+
 def main(root: str = "/tmp/pfr_smoke"):
     rootp = Path(root)
     print("fe:", make_fe(rootp))
@@ -247,6 +329,7 @@ def main(root: str = "/tmp/pfr_smoke"):
     print("data_25:", make_data25(rootp))
     print("petfinder:", make_petfinder_extras(rootp))
     print("kashtanka test:", make_kashtanka_test(rootp))
+    print("kashtanka hard:", make_kashtanka_hard(rootp))
 
 
 if __name__ == "__main__":
