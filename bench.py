@@ -97,7 +97,7 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
                    warp_dtype: str = "bfloat16", input_dtype: str = "bfloat16",
                    int8_detector: bool = False, int8_embedder: bool = False,
                    int8_detector_scope: str = "rpn",
-                   int8_kp_head: bool = True):
+                   int8_kp_head: bool = True, detect_split: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -176,10 +176,28 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
     # two jits: detector | align+embed — the single fused module serializes past
     # the remote compiler's request-size limit; the seam costs one dispatch and
     # keeps everything on device
-    @jax.jit
-    def detect(imgs):
-        dets = detector.apply(det_vars, imgs, train=False)
-        return dets["keypoints"][:, 0, :, :2]  # (B, 3, 2) top detection
+    if detect_split:
+        # third seam at the RoI boundary (PERF.md int8 composition pathology):
+        # the int8 producer chains (backbone/FPN/RPN head) and the RoI
+        # consumer stages compile as separate XLA modules, denying the remote
+        # scheduler the cross-stage plan that balloons scope=full
+        @jax.jit
+        def det_producer(imgs):
+            return detector.apply(det_vars, imgs, method="backbone_rpn")
+
+        @jax.jit
+        def det_consumer(feats, obj, deltas):
+            dets = detector.apply(det_vars, feats, obj, deltas,
+                                  (image_size, image_size), method="roi_eval")
+            return dets["keypoints"][:, 0, :, :2]
+
+        def detect(imgs):
+            return det_consumer(*det_producer(imgs))
+    else:
+        @jax.jit
+        def detect(imgs):
+            dets = detector.apply(det_vars, imgs, train=False)
+            return dets["keypoints"][:, 0, :, :2]  # (B, 3, 2) top detection
 
     from pets_face_recognition_tpu.ops.homography import solve_homography
     from pets_face_recognition_tpu.ops.pallas_warp import warp_affine_batch_pallas
@@ -255,6 +273,12 @@ def main():
     parser.add_argument("--int8-detector", action="store_true",
                         help="int8 PTQ trunk for the resnet50 detector "
                              "backbone (models/quant.py; no-op for mobile)")
+    parser.add_argument("--detect-split", action="store_true",
+                        help="compile the detector as two XLA modules split "
+                             "at the RoI boundary (pathology probe: isolates "
+                             "the int8 producer chains from the RoI consumer "
+                             "stages; costs one dispatch + pyramid HBM "
+                             "round-trip)")
     parser.add_argument("--int8-detector-scope",
                         choices=("trunk", "fpn", "rpn", "full"),
                         default="rpn",
@@ -294,7 +318,8 @@ def main():
                                       int8_detector=args.int8_detector,
                                       int8_embedder=args.int8_embedder,
                                       int8_detector_scope=args.int8_detector_scope,
-                                      int8_kp_head=args.int8_kp_head)
+                                      int8_kp_head=args.int8_kp_head,
+                                      detect_split=args.detect_split)
     # compile + warmup
     out = pipeline(images)
     jax.block_until_ready(out)
@@ -318,6 +343,11 @@ def main():
 
     crops_per_sec = args.batch_size * args.iters / best_dt
     baseline = 5000.0
+    # the run is self-describing: the quality-envelope knobs (quantization
+    # scopes, warp band/dtype, input dtype, proposal budgets) ride along so a
+    # recorded number can never be mistaken for a differently-configured
+    # pipeline's (ADVICE r3). Fidelity of the default config vs float is
+    # pinned in PERF.md ("rank safety") and tests/test_quant.py.
     print(json.dumps({
         "metric": "aligned_crops_per_sec_per_chip",
         "value": round(crops_per_sec, 2),
@@ -325,6 +355,19 @@ def main():
         "vs_baseline": round(crops_per_sec / baseline, 4),
         "detector": args.detector,
         "batch_size": args.batch_size,
+        "config": {
+            "band": args.band,
+            "warp_dtype": args.warp_dtype,
+            "input_dtype": args.input_dtype,
+            "rpn_pre": args.rpn_pre,
+            "rpn_post": args.rpn_post,
+            "int8_embedder": args.int8_embedder,
+            "int8_kp_head": args.int8_kp_head,
+            "int8_detector": args.int8_detector,
+            "int8_detector_scope": (args.int8_detector_scope
+                                    if args.int8_detector else None),
+            "detect_split": args.detect_split,
+        },
     }))
 
 

@@ -201,6 +201,31 @@ class GeneralizedRCNN(nn.Module):
             deltas, image_size,
         )
 
+    # -- eval split at the RoI boundary ---------------------------------- #
+    # ``backbone_rpn`` + ``roi_eval`` == ``__call__(train=False)``, but lets
+    # serving compile the int8 producer chains (backbone/FPN/RPN head) and
+    # the RoI consumer stages as SEPARATE XLA modules. Motivation: the
+    # remote-XLA int8-FPN⊕int8-RPN composition pathology (PERF.md round 3 —
+    # both int8 producers in ONE module balloon the downstream RoI stages
+    # from ~14.5 to ~36.5 ms); a module boundary denies the scheduler the
+    # cross-stage fusion it mis-plans. Costs one dispatch + an HBM round
+    # trip of the pyramid/logits.
+
+    def backbone_rpn(self, images):
+        """Producer half: images -> (feats dict, objectness, deltas)."""
+        feats = self.backbone(images, train=False)
+        objectness, deltas = self.rpn_head(feats)
+        return feats, objectness, deltas
+
+    def roi_eval(self, feats, objectness, deltas, image_size):
+        """Consumer half: proposals + RoI heads on precomputed activations."""
+        anchors, level_ids, strides = self._anchors_and_levels(feats, image_size)
+        pool_names, pool_feats = self._pool_levels(feats)
+        return self._forward_eval(
+            feats, pool_names, pool_feats, anchors, level_ids, strides,
+            objectness, deltas, image_size,
+        )
+
     # ------------------------------------------------------------------ #
 
     def _forward_train(self, images, targets, feats, pool_names, pool_feats, anchors,
@@ -256,34 +281,59 @@ class GeneralizedRCNN(nn.Module):
             )
         )
 
+        if c.with_mask or c.num_keypoints:
+            # torchvision runs the task heads on the sampled POSITIVES only
+            # (roi_heads.py subsets proposals to foreground before the
+            # mask/keypoint branch); the balanced sampler caps positives at
+            # ``batch_size_per_image * positive_fraction``, so that static
+            # budget is guaranteed to hold every fg RoI. Subsetting here is
+            # loss-exact (the losses average over the SAME fg set) and cuts
+            # the task-head + task-RoIAlign + target-projection work by
+            # 1/positive_fraction (4x at torchvision defaults) — measured
+            # mask 653→..., kp 312→... ms/step in PERF.md round 4.
+            # same floor expression as sample_balanced's n_pos_budget —
+            # the sampler can never emit more positives than this
+            P = max(1, int(c.box_batch_size_per_image
+                           * c.box_positive_fraction))
+            P = min(P, S)
+            # stable fg-first order: argsort(False<True) keeps sampler order
+            pos_order = jnp.argsort(~fg, axis=1, stable=True)[:, :P]
+            pos_boxes = jnp.take_along_axis(boxes, pos_order[..., None], 1)
+            pos_gt_idx = jnp.take_along_axis(gt_idx, pos_order, 1)
+            pos_fg = jnp.take_along_axis(fg, pos_order, 1)
+            pos_cls = jnp.take_along_axis(cls_t, pos_order, 1)
+            pos_boxes_flat = pos_boxes.reshape(B * P, 4)
+            pos_batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), P)
+
         if c.with_mask:
             pooled = self._roi_align(
-                pool_names, pool_feats, boxes_flat, batch_idx, strides,
-                (c.mask_roi_size, c.mask_roi_size), train=True,
+                pool_names, pool_feats, pos_boxes_flat, pos_batch_idx,
+                strides, (c.mask_roi_size, c.mask_roi_size), train=True,
             )
-            mask_logits = self.mask_head(pooled)  # (B*S, 28, 28, C)
+            mask_logits = self.mask_head(pooled)  # (B*P, 28, 28, C)
             gt_masks = jax.vmap(
                 lambda m, bx, gi: rh.project_masks_on_boxes(m, bx, gi, 28)
-            )(targets["masks"], boxes, gt_idx)
+            )(targets["masks"], pos_boxes, pos_gt_idx)
             losses["loss_mask"] = rh.maskrcnn_loss(
-                mask_logits, cls_t.reshape(-1),
-                gt_masks.reshape(B * S, 28, 28), fg.reshape(-1),
+                mask_logits, pos_cls.reshape(-1),
+                gt_masks.reshape(B * P, 28, 28), pos_fg.reshape(-1),
             )
 
         if c.num_keypoints:
             pooled = self._roi_align(
-                pool_names, pool_feats, boxes_flat, batch_idx, strides,
-                (c.keypoint_roi_size, c.keypoint_roi_size), train=True,
+                pool_names, pool_feats, pos_boxes_flat, pos_batch_idx,
+                strides, (c.keypoint_roi_size, c.keypoint_roi_size),
+                train=True,
             )
-            kp_logits = self.keypoint_head(pooled)  # (B*S, 56, 56, K)
+            kp_logits = self.keypoint_head(pooled)  # (B*P, 56, 56, K)
             gt_kps = jnp.take_along_axis(
-                targets["keypoints"], gt_idx[..., None, None], axis=1
-            ).reshape(B * S, c.num_keypoints, 3)
+                targets["keypoints"], pos_gt_idx[..., None, None], axis=1
+            ).reshape(B * P, c.num_keypoints, 3)
             kp_targets, kp_valid = rh.keypoints_to_heatmap_targets(
-                gt_kps, boxes_flat, kp_logits.shape[1]
+                gt_kps, pos_boxes_flat, kp_logits.shape[1]
             )
             losses["loss_keypoint"] = rh.keypointrcnn_loss(
-                kp_logits, kp_targets, kp_valid, fg.reshape(-1)
+                kp_logits, kp_targets, kp_valid, pos_fg.reshape(-1)
             )
         return losses
 
@@ -374,36 +424,57 @@ class GeneralizedRCNN(nn.Module):
 def maskrcnn_resnet50_fpn(
     num_classes: int = 2,
     box_detections_per_img: int = 3,
+    quant=None,
+    quant_scope: str = "rpn",
     **overrides,
 ) -> GeneralizedRCNN:
     """Production body detector/segmenter
-    (``configs/mask/mask_rcnn_config.py:60-79``: num_classes=2, 3 det/img)."""
+    (``configs/mask/mask_rcnn_config.py:60-79``: num_classes=2, 3 det/img).
+
+    ``quant`` (None | "calibrate" | "int8") + ``quant_scope``
+    (trunk | fpn | rpn | full): serving int8 PTQ surface — trunk always,
+    FPN/RPN per scope (default "rpn", the shipping scope; PERF.md documents
+    the fpn×rpn composition pathology behind it)."""
     cfg = RCNNConfig(
         num_classes=num_classes, with_mask=True,
         box_detections_per_img=box_detections_per_img, **overrides,
     )
-    backbone = BackboneWithFPN(backbone=resnet50(features_only=True,
-                                                 frozen_stats=True))
-    return GeneralizedRCNN(backbone=backbone, cfg=cfg)
+    backbone = BackboneWithFPN(
+        backbone=resnet50(features_only=True, frozen_stats=True, quant=quant),
+        quant=quant if quant_scope in ("fpn", "full") else None)
+    return GeneralizedRCNN(
+        backbone=backbone, cfg=cfg,
+        quant=quant if quant_scope in ("rpn", "full") else None)
 
 
 def keypointrcnn_resnet50_fpn(
     num_classes: int = 2,
     num_keypoints: int = 3,
     box_detections_per_img: int = 1,
+    quant=None,
+    quant_scope: str = "rpn",
+    quant_kp=None,
     **overrides,
 ) -> GeneralizedRCNN:
     """Production head+landmark detector
     (``configs/keypoint/keypoints_config.py:69-90``: 3 keypoints, 1 det/img).
     torchvision keypointrcnn uses a single-size-per-level anchor set scaled like
-    maskrcnn; keep defaults."""
+    maskrcnn; keep defaults.
+
+    ``quant``/``quant_scope``: int8 PTQ for trunk (+FPN/RPN per scope, default
+    "rpn"); ``quant_kp``: int8 PTQ for the keypoint head's 8-conv chain
+    (independent knob — it pays off without an int8 backbone)."""
     cfg = RCNNConfig(
         num_classes=num_classes, num_keypoints=num_keypoints,
         box_detections_per_img=box_detections_per_img, **overrides,
     )
-    backbone = BackboneWithFPN(backbone=resnet50(features_only=True,
-                                                 frozen_stats=True))
-    return GeneralizedRCNN(backbone=backbone, cfg=cfg)
+    backbone = BackboneWithFPN(
+        backbone=resnet50(features_only=True, frozen_stats=True, quant=quant),
+        quant=quant if quant_scope in ("fpn", "full") else None)
+    return GeneralizedRCNN(
+        backbone=backbone, cfg=cfg,
+        quant=quant if quant_scope in ("rpn", "full") else None,
+        quant_kp=quant_kp)
 
 
 def swin_tiny_keypoint_rcnn(
@@ -447,7 +518,7 @@ def mobile_net_v3_large_rcnn(**overrides) -> GeneralizedRCNN:
     kw.update(overrides)
     cfg = RCNNConfig(**kw)
     backbone = BackboneWithFPN(
-        backbone=mobilenet_v3_large(features_only=True),
+        backbone=mobilenet_v3_large(features_only=True, frozen_stats=True),
         in_levels=("c4", "c5"),
     )
     return GeneralizedRCNN(backbone=backbone, cfg=cfg)
@@ -488,9 +559,13 @@ def convnext_tiny_keypoint_rcnn(**overrides) -> GeneralizedRCNN:
     return GeneralizedRCNN(backbone=backbone, cfg=cfg)
 
 
-def mobile_net_v3_large_keypoint_rcnn(**overrides) -> GeneralizedRCNN:
+def mobile_net_v3_large_keypoint_rcnn(quant_kp=None,
+                                      **overrides) -> GeneralizedRCNN:
     """MobileNetV3-Large Keypoint R-CNN (reference
-    ``models/detection/rcnn.py:104-126``)."""
+    ``models/detection/rcnn.py:104-126``).
+
+    ``quant_kp``: int8 PTQ for the keypoint head conv chain (the MBv3 trunk
+    itself has no int8 path — it is already cheap, see PERF.md)."""
     from .mobilenet_v3 import mobilenet_v3_large
 
     kw = dict(
@@ -501,7 +576,7 @@ def mobile_net_v3_large_keypoint_rcnn(**overrides) -> GeneralizedRCNN:
     kw.update(overrides)
     cfg = RCNNConfig(**kw)
     backbone = BackboneWithFPN(
-        backbone=mobilenet_v3_large(features_only=True),
+        backbone=mobilenet_v3_large(features_only=True, frozen_stats=True),
         in_levels=("c4", "c5"),
     )
-    return GeneralizedRCNN(backbone=backbone, cfg=cfg)
+    return GeneralizedRCNN(backbone=backbone, cfg=cfg, quant_kp=quant_kp)
