@@ -295,7 +295,10 @@ def build_keypoint_config(
         if arch == "mobile":
             from .models.rcnn import mobile_net_v3_large_keypoint_rcnn
 
-            return mobile_net_v3_large_keypoint_rcnn()
+            # live BN for from-scratch smoke training (no pretrained frozen
+            # stats offline); serving rebuilds with frozen_stats=True over
+            # the SAME checkpoint (batch_stats tree is identical)
+            return mobile_net_v3_large_keypoint_rcnn(frozen_stats=False)
         return keypointrcnn_resnet50_fpn(num_classes=2, num_keypoints=3,
                                          box_detections_per_img=1)
 

@@ -76,18 +76,24 @@ class DetectionController:
         def train_step(state: TrainState, batch: dict, rng: jax.Array):
             targets = self._targets_from_batch(batch)
 
+            # batch_stats is declared mutable so live-BN backbones (e.g. the
+            # MobileNetV3 smoke recipe training from scratch — no pretrained
+            # frozen stats exist offline) update running stats; the
+            # production frozen-stats trunks (torchvision FrozenBatchNorm2d
+            # parity, ref models/detection/rcnn.py:111) never write, so
+            # `mutated` comes back empty and the state is unchanged.
             def loss_fn(params):
-                out = state.apply_fn(
+                out, mutated = state.apply_fn(
                     {"params": params, "batch_stats": state.batch_stats},
                     batch["images"], targets, train=True,
-                    rngs={"sampler": rng},
+                    rngs={"sampler": rng}, mutable=["batch_stats"],
                 )
-                return out["loss"], out
+                return out["loss"], (out, mutated)
 
-            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
-            new_state = state.apply_gradients(grads)
+            (loss, (out, mutated)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            new_state = state.apply_gradients(
+                grads, mutated.get("batch_stats", state.batch_stats))
             metrics = {k: v for k, v in out.items()}
             return new_state, metrics
 

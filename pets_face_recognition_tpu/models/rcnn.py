@@ -559,13 +559,20 @@ def convnext_tiny_keypoint_rcnn(**overrides) -> GeneralizedRCNN:
     return GeneralizedRCNN(backbone=backbone, cfg=cfg)
 
 
-def mobile_net_v3_large_keypoint_rcnn(quant_kp=None,
+def mobile_net_v3_large_keypoint_rcnn(quant_kp=None, frozen_stats=True,
                                       **overrides) -> GeneralizedRCNN:
     """MobileNetV3-Large Keypoint R-CNN (reference
     ``models/detection/rcnn.py:104-126``).
 
     ``quant_kp``: int8 PTQ for the keypoint head conv chain (the MBv3 trunk
-    itself has no int8 path — it is already cheap, see PERF.md)."""
+    itself has no int8 path — it is already cheap, see PERF.md).
+    ``frozen_stats``: torchvision FrozenBatchNorm2d parity (ref ``:111``,
+    always pretrained there). Training FROM SCRATCH (the offline smoke
+    recipe — no pretrained stats exist) needs ``False``: identity frozen
+    stats at random init leave the deep narrow trunk un-normalized and it
+    never converges (measured: 22 epochs, AP50 pinned at 0). Live-BN-train
+    then frozen-serve is exactly torchvision's pretrain→freeze semantics —
+    checkpointed batch_stats feed the frozen serving twin unchanged."""
     from .mobilenet_v3 import mobilenet_v3_large
 
     kw = dict(
@@ -576,7 +583,8 @@ def mobile_net_v3_large_keypoint_rcnn(quant_kp=None,
     kw.update(overrides)
     cfg = RCNNConfig(**kw)
     backbone = BackboneWithFPN(
-        backbone=mobilenet_v3_large(features_only=True, frozen_stats=True),
+        backbone=mobilenet_v3_large(features_only=True,
+                                    frozen_stats=frozen_stats),
         in_levels=("c4", "c5"),
     )
     return GeneralizedRCNN(backbone=backbone, cfg=cfg, quant_kp=quant_kp)
