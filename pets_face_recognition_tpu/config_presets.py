@@ -297,8 +297,11 @@ def build_keypoint_config(
 
             # live BN for from-scratch smoke training (no pretrained frozen
             # stats offline); serving rebuilds with frozen_stats=True over
-            # the SAME checkpoint (batch_stats tree is identical)
-            return mobile_net_v3_large_keypoint_rcnn(frozen_stats=False)
+            # the SAME checkpoint (batch_stats tree is identical). momentum
+            # 0.9: short runs need the running stats to converge in ~100
+            # steps (see models/mobilenet_v3.py bn_momentum note)
+            return mobile_net_v3_large_keypoint_rcnn(frozen_stats=False,
+                                                     bn_momentum=0.9)
         return keypointrcnn_resnet50_fpn(num_classes=2, num_keypoints=3,
                                          box_detections_per_img=1)
 

@@ -48,6 +48,7 @@ class InvertedResidual(nn.Module):
     use_hs: bool
     dtype: Any = jnp.float32
     frozen_stats: bool = False
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -57,7 +58,8 @@ class InvertedResidual(nn.Module):
         # stays bfloat16 end to end (see resnet.py BN note); batch-stat
         # training mode stays float32
         norm = lambda name: nn.BatchNorm(  # noqa: E731
-            use_running_average=use_ra, momentum=0.99, epsilon=1e-3,
+            use_running_average=use_ra, momentum=self.bn_momentum,
+            epsilon=1e-3,
             dtype=jnp.float32 if not use_ra else self.dtype, name=name)
         inp = x.shape[-1]
         y = x
@@ -145,12 +147,21 @@ class MobileNetV3Large(nn.Module):
     features_only: bool = False
     dtype: Any = jnp.float32
     frozen_stats: bool = False
+    # torchvision MobileNetV3 BN momentum is torch 0.01 == flax 0.99 — tuned
+    # for ImageNet-length pretraining. Short from-scratch recipes (the smoke
+    # configs) must LOWER it: after ~200 steps, 0.99 leaves ~11% of the
+    # identity init in the running stats, which compounds per layer into a
+    # train/eval distribution shift that pins eval AP at 0 (measured: RPN
+    # max logit 9.3 with batch stats vs -2.3 with running averages on the
+    # same trained weights).
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         use_ra = (not train) or self.frozen_stats
         norm = lambda name: nn.BatchNorm(  # noqa: E731
-            use_running_average=use_ra, momentum=0.99, epsilon=1e-3,
+            use_running_average=use_ra, momentum=self.bn_momentum,
+            epsilon=1e-3,
             dtype=jnp.float32 if not use_ra else self.dtype, name=name)
         if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             kernel = _StemKernel(in_ch=x.shape[-1], name="stem")()
@@ -163,6 +174,7 @@ class MobileNetV3Large(nn.Module):
         for i, (exp, out, k, s, se, hs) in enumerate(_MBV3_LARGE):
             x = InvertedResidual(exp, out, k, s, se, hs, dtype=self.dtype,
                                  frozen_stats=self.frozen_stats,
+                                 bn_momentum=self.bn_momentum,
                                  name=f"block{i}")(x, train=train)
             if i in _TAPS:
                 feats[_TAPS[i]] = x

@@ -560,6 +560,7 @@ def convnext_tiny_keypoint_rcnn(**overrides) -> GeneralizedRCNN:
 
 
 def mobile_net_v3_large_keypoint_rcnn(quant_kp=None, frozen_stats=True,
+                                      bn_momentum=0.99,
                                       **overrides) -> GeneralizedRCNN:
     """MobileNetV3-Large Keypoint R-CNN (reference
     ``models/detection/rcnn.py:104-126``).
@@ -584,7 +585,8 @@ def mobile_net_v3_large_keypoint_rcnn(quant_kp=None, frozen_stats=True,
     cfg = RCNNConfig(**kw)
     backbone = BackboneWithFPN(
         backbone=mobilenet_v3_large(features_only=True,
-                                    frozen_stats=frozen_stats),
+                                    frozen_stats=frozen_stats,
+                                    bn_momentum=bn_momentum),
         in_levels=("c4", "c5"),
     )
     return GeneralizedRCNN(backbone=backbone, cfg=cfg, quant_kp=quant_kp)
