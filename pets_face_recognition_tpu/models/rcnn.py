@@ -289,8 +289,8 @@ class GeneralizedRCNN(nn.Module):
             # budget is guaranteed to hold every fg RoI. Subsetting here is
             # loss-exact (the losses average over the SAME fg set) and cuts
             # the task-head + task-RoIAlign + target-projection work by
-            # 1/positive_fraction (4x at torchvision defaults) — measured
-            # mask 653→..., kp 312→... ms/step in PERF.md round 4.
+            # 1/positive_fraction (4x at torchvision defaults); measured
+            # step times in PERF.md "Round-4: training".
             # same floor expression as sample_balanced's n_pos_budget —
             # the sampler can never emit more positives than this
             P = max(1, int(c.box_batch_size_per_image
