@@ -146,8 +146,11 @@ class PTQServing:
         got = jax.tree_util.tree_structure(tree)
         if ref_leaves != got:
             raise ValueError(
-                f"{self.name}: quant-state tree mismatch (saved with a "
-                f"different model configuration?)")
+                f"{self.name}: quant-state tree mismatch — the saved state "
+                f"was calibrated under a different model configuration "
+                f"(e.g. a different {QUANT_COMPONENTS_ENV}). Re-run "
+                f"calibrate mode with the SAME component subset and state "
+                f"path as this int8 run.")
         self.quant = jax.tree_util.tree_map(jnp.asarray, tree)
         self._serve = None
 

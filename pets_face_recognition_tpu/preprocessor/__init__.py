@@ -131,7 +131,19 @@ class _ModelPipeline:
     @property
     def model_fn(self):
         if self._model_fn is None:
-            self._model_fn = self._loader()
+            # A failed model BUILD is a configuration error (bad checkpoint
+            # path, quant-state mismatch, ...), not a bad image: wrap it so
+            # the per-image silent-skip semantics (ref
+            # ``generate_tsv_to_reproduce1.py:203-210`` catching per-image
+            # failures) can never swallow it — callers catch
+            # AssertionError/ValueError/OSError only.
+            try:
+                self._model_fn = self._loader()
+            except Exception as e:
+                raise RuntimeError(
+                    f"{type(self).__name__}: pipeline model load failed "
+                    f"(configuration error, not an image failure): {e}"
+                ) from e
         return self._model_fn
 
     def __getstate__(self):
