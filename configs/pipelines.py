@@ -58,13 +58,20 @@ def _jitted_forward(model, ckpt_path: Path):
     return model_fn
 
 
-def _detector_fn(name: str, build_fn, ckpt_path: Path):
+def _detector_fn(name: str, build_fn, ckpt_path: Path,
+                 supports: tuple = ("detector", "kp_head")):
     """Float / calibrate / int8 detector forward per the process quant mode
-    (``models/ptq.py``): ``build_fn(quant, quant_kp)`` builds the model."""
+    (``models/ptq.py``): ``build_fn(quant, quant_kp)`` builds the model.
+
+    ``supports`` lists which quant components this factory's model actually
+    consumes (mask R-CNN has no keypoint head; the mobile trunk has no int8
+    path) — a selected-but-unsupported component must fall back to float
+    instead of building a quant-less PTQ twin (which would raise).
+    """
     import numpy as np
 
     mode = ptq.quant_mode()
-    comps = ptq.quant_components()
+    comps = ptq.quant_components() & set(supports)
     det_q = mode if (mode and "detector" in comps) else None
     kp_q = mode if (mode and "kp_head" in comps) else None
     if det_q is None and kp_q is None:
@@ -110,7 +117,7 @@ def keypoint_pipeline(variant: str = "prod"):
         return _detector_fn(
             f"det_keypoint_mobile_{variant}",
             lambda q, qkp: mobile_net_v3_large_keypoint_rcnn(quant_kp=qkp),
-            ckpt)
+            ckpt, supports=("kp_head",))
     if arch != "resnet50":
         raise ValueError(f"PFR_KEYPOINT_ARCH={arch!r}: resnet50 | mobile")
     return _detector_fn(
@@ -127,7 +134,7 @@ def mask_pipeline():
         "det_mask",
         lambda q, qkp: maskrcnn_resnet50_fpn(
             num_classes=2, box_detections_per_img=3, quant=q),
-        ckpt)
+        ckpt, supports=("detector",))
 
 
 input_size = _INPUT_SIZE
