@@ -72,9 +72,21 @@ def _detector_fn(name: str, build_fn, ckpt_path: Path,
 
     mode = ptq.quant_mode()
     comps = ptq.quant_components() & set(supports)
+    if mode:
+        # an int8/calibrate run that silently drops a requested component
+        # reads as "int8" in bench/quality labels while actually running
+        # float — say so (ADVICE r4 #1)
+        dropped = (ptq.quant_components() & {"detector", "kp_head"}) - comps
+        if dropped:
+            print(f"PTQ: {name}: requested quant component(s) "
+                  f"{sorted(dropped)} unsupported by this factory — "
+                  f"falling back to float for those stages")
     det_q = mode if (mode and "detector" in comps) else None
     kp_q = mode if (mode and "kp_head" in comps) else None
     if det_q is None and kp_q is None:
+        if mode:
+            print(f"PTQ: {name}: no supported quant components selected "
+                  f"under PFR_QUANT_MODE={mode!r} — serving FLOAT")
         return _jitted_forward(build_fn(None, None), ckpt_path)
 
     params, batch_stats = _load_unwrapped(ckpt_path)

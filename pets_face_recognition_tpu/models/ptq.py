@@ -175,6 +175,13 @@ def save_quant_state(path: Path | None = None) -> Path:
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as f:
         pickle.dump(state, f)
+    # print WHICH submodules were calibrated per model: a quant state whose
+    # detector entry holds only keypoint_head leaves means the trunk/RPN
+    # quant never engaged (e.g. a lingering PFR_QUANT_COMPONENTS export) —
+    # exactly the silent mislabeling that bit the round-4 quality run
+    for name in sorted(state):
+        tops = sorted(state[name]) if isinstance(state[name], dict) else []
+        print(f"PTQ: {name}: calibrated submodules {tops}")
     print(f"PTQ: saved quant state for {sorted(state)} -> {path}")
     return path
 

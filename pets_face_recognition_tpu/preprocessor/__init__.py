@@ -119,6 +119,7 @@ class _ModelPipeline:
         assert model_fn is not None or loader is not None
         self._model_fn = model_fn
         self._loader = loader
+        self._load_error = None
         self.input_size = tuple(input_size)
         # Fixed serving batch: when set, every detector call is zero-padded to
         # exactly this many images so ONE executable serves all chunk sizes.
@@ -136,19 +137,24 @@ class _ModelPipeline:
             # the per-image silent-skip semantics (ref
             # ``generate_tsv_to_reproduce1.py:203-210`` catching per-image
             # failures) can never swallow it — callers catch
-            # AssertionError/ValueError/OSError only.
+            # AssertionError/ValueError/OSError only. The failure is cached
+            # so repeated accesses fail fast instead of re-paying the
+            # checkpoint-load cost per image (ADVICE r4 #3).
+            if self._load_error is not None:
+                raise self._load_error
             try:
                 self._model_fn = self._loader()
             except Exception as e:
-                raise RuntimeError(
+                self._load_error = RuntimeError(
                     f"{type(self).__name__}: pipeline model load failed "
-                    f"(configuration error, not an image failure): {e}"
-                ) from e
+                    f"(configuration error, not an image failure): {e}")
+                raise self._load_error from e
         return self._model_fn
 
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_model_fn"] = None  # drop the jitted graph, reload on unpickle
+        state["_load_error"] = None
         return state
 
     def _prepare(self, images: list[np.ndarray] | np.ndarray):

@@ -114,3 +114,45 @@ def test_pipelines_config_unwraps_loss_checkpoint(tmp_path, monkeypatch):
     out = fn(imgs)
     assert out["keypoints"].shape[0] == 1
     assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+def test_pipeline_quant_fallback_unsupported_components(tmp_path, monkeypatch,
+                                                        capsys):
+    """A quant mode whose selected components the factory's model doesn't
+    consume must fall back to FLOAT with a printed notice instead of building
+    a quant-less PTQ twin that raises at load time (ADVICE r4 #1/#2;
+    regression for 8afcd3c).
+
+    mask R-CNN has no keypoint head, so PFR_QUANT_COMPONENTS=kp_head under
+    calibrate mode must serve the plain float path.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from pets_face_recognition_tpu.engine.checkpoint import save_checkpoint
+    from pets_face_recognition_tpu.engine.train_state import TrainState
+    from pets_face_recognition_tpu.models.rcnn import maskrcnn_resnet50_fpn
+    from pets_face_recognition_tpu.utils import get_dict_wrapper
+
+    model = maskrcnn_resnet50_fpn(num_classes=2, box_detections_per_img=3)
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs, train=False)
+    state = TrainState.create(model.apply, {
+        "params": {"model": variables["params"]},
+        "batch_stats": {"model": variables.get("batch_stats", {})},
+    }, optax.sgd(0.1))
+    ckpt_dir = tmp_path / "checkpoints"
+    save_checkpoint(ckpt_dir, state, epoch=0)
+
+    monkeypatch.setenv("PFR_MASK_CKPT", str(ckpt_dir))
+    monkeypatch.setenv("PFR_QUANT_MODE", "calibrate")
+    monkeypatch.setenv("PFR_QUANT_COMPONENTS", "kp_head")
+    monkeypatch.setenv("PFR_QUANT_STATE", str(tmp_path / "qs.pkl"))
+    cfg = get_dict_wrapper("configs/pipelines.py")
+    fn = cfg.mask_pipeline()
+    out = fn(imgs)
+    assert np.isfinite(np.asarray(out["scores"])).all()
+    printed = capsys.readouterr().out
+    assert "serving FLOAT" in printed

@@ -140,3 +140,42 @@ def test_variant_pipelines_bind_distinct_checkpoints(monkeypatch):
 
     # explicit model_fn still wins over the variant binding
     assert Preproc11(model_fn="X").model_fn == "X"
+
+
+def test_pipeline_loader_failure_raises_runtime_error_and_caches():
+    """A failed model BUILD must escape the per-image silent-skip semantics
+    (callers catch AssertionError/ValueError/OSError only) as RuntimeError,
+    and the failure must be cached — the expensive loader runs ONCE
+    (ADVICE r4 #2/#3; regression for f95d97e)."""
+    from pets_face_recognition_tpu.preprocessor import _ModelPipeline
+
+    calls = []
+
+    def bad_loader():
+        calls.append(1)
+        raise ValueError("bad checkpoint tree")
+
+    pipe = _ModelPipeline(loader=bad_loader)
+    with pytest.raises(RuntimeError, match="model load failed"):
+        pipe.model_fn
+    with pytest.raises(RuntimeError, match="model load failed"):
+        pipe.model_fn
+    assert len(calls) == 1, "loader must not be re-run after a cached failure"
+
+
+def _failing_loader():
+    raise OSError("missing checkpoint")
+
+
+def test_pipeline_loader_failure_cleared_by_pickle_roundtrip():
+    """__getstate__ drops the cached failure (a config error may be fixed
+    between pickle and unpickle, mirroring the model_fn reload)."""
+    import pickle
+
+    from pets_face_recognition_tpu.preprocessor import _ModelPipeline
+
+    pipe = _ModelPipeline(loader=_failing_loader)
+    with pytest.raises(RuntimeError):
+        pipe.model_fn
+    clone = pickle.loads(pickle.dumps(pipe))
+    assert clone._load_error is None

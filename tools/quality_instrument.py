@@ -83,17 +83,62 @@ def run_pass(name: str, env_overrides: dict, data: Path, out_dir: Path,
     return tsv
 
 
+_SHIP = "embedder,kp_head"  # shipping default: detector int8 stays opt-in
+_ALL = "embedder,detector,kp_head"
 CONFIGS = {
-    # name -> env overrides; "_int8" triggers the calibrate→int8 two-pass
+    # name -> env overrides; "_int8" triggers the calibrate→int8 two-pass.
+    # "int8" rows = ALL components (incl. the opt-in detector quant);
+    # "int8ship" rows = the SHIPPING config (embedder+kp_head int8, float
+    # detector — PERF.md round-4 rank-safety decomposition).
+    # Every int8 row pins PFR_QUANT_COMPONENTS EXPLICITLY: round 4's "int8"
+    # cell silently inherited a lingering components export from the parent
+    # shell and measured the shipping config while labeled all-components
+    # (caught round 5 by byte-identical tsvs + a kp_head-only quant state).
     "float_resnet50_f32": {},
-    "int8_resnet50_f32": {"_int8": True},
+    "int8_resnet50_f32": {"_int8": True, "PFR_QUANT_COMPONENTS": _ALL},
+    "int8ship_resnet50_f32": {"_int8": True, "PFR_QUANT_COMPONENTS": _SHIP},
     "float_resnet50_bf16in": {"PFR_INPUT_DTYPE": "bfloat16"},
-    "int8_resnet50_bf16in": {"_int8": True, "PFR_INPUT_DTYPE": "bfloat16"},
+    "int8_resnet50_bf16in": {"_int8": True, "PFR_INPUT_DTYPE": "bfloat16",
+                             "PFR_QUANT_COMPONENTS": _ALL},
+    "int8ship_resnet50_bf16in": {"_int8": True, "PFR_INPUT_DTYPE": "bfloat16",
+                                 "PFR_QUANT_COMPONENTS": _SHIP},
     # mobile detector rows need PFR_KEYPOINT_CKPT pointing at a
     # mobile-arch checkpoint (configs/smoke/keypoint_mobile_smoke.py)
     "float_mobile_f32": {"PFR_KEYPOINT_ARCH": "mobile"},
-    "int8_mobile_f32": {"_int8": True, "PFR_KEYPOINT_ARCH": "mobile"},
+    "int8_mobile_f32": {"_int8": True, "PFR_KEYPOINT_ARCH": "mobile",
+                        "PFR_QUANT_COMPONENTS": _ALL},
 }
+
+
+def resolve_smoke_env() -> None:
+    """Default the checkpoint/threshold env contract off ``results_smoke``
+    run dirs (same resolution as tools/rank_safety_drive.sh) so the
+    instrument is turnkey after tools/drive_smoke_e2e.sh. Explicit env
+    always wins."""
+    def latest_by_cfg(cfg_name: str) -> str:
+        runs = sorted(REPO.glob("results_smoke/*/"),
+                      key=lambda p: p.name, reverse=True)
+        for d in runs:
+            if (d / cfg_name).exists() and any((d / "checkpoints").glob("*")):
+                return str(d / "checkpoints")
+        raise SystemExit(f"no results_smoke run with {cfg_name}")
+
+    defaults = {
+        "PFR_KEYPOINT_CKPT": lambda: latest_by_cfg("keypoint_smoke.py"),
+        "PFR_MASK_CKPT": lambda: latest_by_cfg("mask_smoke.py"),
+        "PFR_RETRIEVAL_THR": lambda: "0.5",  # smoke detectors are weak
+    }
+    fe = None
+    for var in ("PFR_CAT_HEAD_FE_CKPT", "PFR_DOG_HEAD_FE_CKPT",
+                "PFR_CAT_BODY_FE_CKPT", "PFR_DOG_BODY_FE_CKPT"):
+        if var not in os.environ:
+            fe = fe or latest_by_cfg("fe_smoke.py")
+            os.environ[var] = fe
+    for var, fn in defaults.items():
+        if var not in os.environ:
+            os.environ[var] = fn()
+    for var in sorted(v for v in os.environ if v.startswith("PFR_")):
+        print(f"  {var}={os.environ[var]}")
 
 
 def main():
@@ -113,6 +158,7 @@ def main():
                          "mobile rows)")
     args = ap.parse_args()
 
+    resolve_smoke_env()
     gt = json.loads(args.gt.read_text())
     args.out.mkdir(parents=True, exist_ok=True)
     names = args.configs
@@ -121,7 +167,10 @@ def main():
         if args.mobile_ckpt is not None:
             names += [n for n in CONFIGS if "mobile" in n]
 
-    table = {}
+    # merge into an existing table so the grid can be filled incrementally
+    # (chain passes are 12-20 min each on the chip)
+    table_path = args.out / "quality_table.json"
+    table = json.loads(table_path.read_text()) if table_path.exists() else {}
     for name in names:
         overrides = dict(CONFIGS[name])
         if "mobile" in name:
@@ -134,7 +183,7 @@ def main():
         table[name] = cand_recall(tsv, gt)
         print(name, table[name])
 
-    (args.out / "quality_table.json").write_text(json.dumps(table, indent=2))
+    table_path.write_text(json.dumps(table, indent=2))
     ks = ("candR@1", "candR@10", "candR@100")
     print("\n| config | " + " | ".join(ks) + " | rows |")
     print("|---|" + "---|" * (len(ks) + 1))
