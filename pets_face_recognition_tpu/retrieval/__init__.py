@@ -26,6 +26,7 @@ Rank parity details preserved:
 from __future__ import annotations
 
 import dataclasses
+import os
 from pathlib import Path
 from typing import Any, Callable, Iterable
 
@@ -37,6 +38,43 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # Per-species ensemble fallback thresholds (type 1 = dog, 2 = cat).
 ENSEMBLE_BODY_THRESHOLDS = (0.9069641, 0.985643)
+
+# PFR_SCORES_DUMP=<path.npz>: persist every query's full per-gallery score
+# row (plus the include mask and gallery names) alongside the tsv. The tsv's
+# ``answer`` column carries only rank ORDER; the rank-safety near-tie
+# contract (tools/verify_near_tie_contract.py, VERDICT r4 #1) needs the
+# underlying SCORES to check that int8-vs-float rank flips only happen
+# across gaps smaller than the quantization drift.
+_SCORES_DUMP: dict[str, dict] = {}
+
+
+def _record_scores_dump(q_cards, g_cards, scores, include) -> None:
+    if not os.environ.get("PFR_SCORES_DUMP"):
+        return
+    g_names = np.array([c.name for c in g_cards])
+    for qi, c in enumerate(q_cards):
+        _SCORES_DUMP[c.name] = {
+            "gallery": g_names,
+            "scores": np.asarray(scores[qi], np.float32),
+            "include": np.asarray(include[qi], bool),
+        }
+
+
+def flush_scores_dump(path: str | None = None) -> Path | None:
+    """Write the accumulated score rows to ``PFR_SCORES_DUMP`` (npz)."""
+    path = path or os.environ.get("PFR_SCORES_DUMP")
+    if not path or not _SCORES_DUMP:
+        return None
+    arrays = {}
+    for q, d in _SCORES_DUMP.items():
+        arrays[f"{q}/gallery"] = d["gallery"]
+        arrays[f"{q}/scores"] = d["scores"]
+        arrays[f"{q}/include"] = d["include"]
+    out = Path(path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(out, **arrays)
+    print(f"scores dump: {len(_SCORES_DUMP)} queries -> {out}")
+    return out
 
 
 @dataclasses.dataclass
@@ -362,6 +400,7 @@ def calc_scores(
         scores, include = ensemble_scores(
             head_scores, body_scores, qhh, ghh, qhb, ghb, animal_type
         )
+        _record_scores_dump(q_cards, g_cards, scores, include)
         g_names = [c.name for c in g_cards]
         for pos, c, row in zip(
             q_pos, q_cards, topk_rows(scores, include, g_names, k)
@@ -392,3 +431,4 @@ def backfill_missing(df: pd.DataFrame, stock_tsv: str | Path) -> pd.DataFrame:
 
 def write_tsv(df: pd.DataFrame, path: str | Path) -> None:
     df.to_csv(path, sep="\t", index=False)
+    flush_scores_dump()

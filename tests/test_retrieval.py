@@ -179,3 +179,54 @@ def test_sharded_topk_matches_dense(rng, eight_devices):
             np.sort(dense[qi][idx[qi]]), np.sort(dense[qi][want_order]),
             atol=1e-5,
         )
+
+
+def test_scores_dump_and_near_tie_contract(tmp_path, monkeypatch):
+    """PFR_SCORES_DUMP persists every query's full per-gallery score row, and
+    tools/verify_near_tie_contract.py certifies a pair of dumps: identical
+    dumps are NEAR-TIE-SAFE; a confidently-ordered pair flip is VIOLATED."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "tools")
+    import importlib
+
+    vntc = importlib.import_module("verify_near_tie_contract")
+    from pets_face_recognition_tpu import retrieval as R
+
+    rng = np.random.RandomState(0)
+
+    def card(name, t=1):
+        return R.CardRecord(name=name, type=t,
+                            head_vectors=rng.randn(2, 16).astype(np.float32),
+                            body_vectors=np.zeros((0,)))
+
+    queries = [card(f"q{i}") for i in range(3)]
+    gallery = [card(f"g{i}") for i in range(6)]
+
+    dump_a = tmp_path / "a.npz"
+    monkeypatch.setenv("PFR_SCORES_DUMP", str(dump_a))
+    R._SCORES_DUMP.clear()
+    R.calc_scores(queries, gallery, dim=16)
+    R.flush_scores_dump()
+    R._SCORES_DUMP.clear()
+
+    a = vntc.load_dump(dump_a)
+    assert sorted(a) == ["q0", "q1", "q2"]
+    assert a["q0"]["scores"].shape == (6,)
+
+    # identical dumps: zero drift, zero flips
+    rep = vntc.compare(a, a)
+    assert rep["max_score_drift"] == 0.0
+    assert rep["n_flipped_pairs"] == 0
+
+    # flip two CONFIDENTLY separated cards in b -> contract violated
+    b = {q: {k: v.copy() for k, v in d.items()} for q, d in a.items()}
+    s = b["q0"]["scores"]
+    top2 = np.argsort(-s)[:2]
+    gap = abs(float(s[top2[0]] - s[top2[1]]))
+    s[top2[0]], s[top2[1]] = s[top2[1]], s[top2[0]]
+    rep2 = vntc.compare(a, b)
+    assert rep2["n_flipped_pairs"] >= 1
+    assert rep2["max_flip_float_gap"] >= gap * 0.99

@@ -28,11 +28,20 @@ def compare(path_a: str, path_b: str, score_tol: float = 1e-6) -> dict:
 
     report: dict = {"queries_a": len(a), "queries_b": len(b)}
     if set(a.index) != set(b.index):
+        # report the membership diff, then still compare the SHARED queries —
+        # "which queries detected" and "how shared queries rank" are separate
+        # contracts (PERF.md round-5: kp_head int8 can flip borderline crop
+        # validity without touching any surviving query's ranking)
         only_a = sorted(set(a.index) - set(b.index))
         only_b = sorted(set(b.index) - set(a.index))
         report.update(query_set_equal=False, only_a=only_a, only_b=only_b)
-        return report
-    report["query_set_equal"] = True
+        shared = sorted(set(a.index) & set(b.index))
+        if not shared:
+            return report
+        a, b = a.loc[shared], b.loc[shared]
+        report["n_shared_compared"] = len(shared)
+    else:
+        report["query_set_equal"] = True
 
     # full rank lists
     rank_mismatch, first_div, top10_set_diff, top1_diff = [], {}, [], []
