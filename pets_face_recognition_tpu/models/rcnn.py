@@ -69,6 +69,12 @@ class RCNNConfig:
     num_keypoints: int = 0
     mask_roi_size: int = 14
     keypoint_roi_size: int = 14
+    # Training: run mask/keypoint branches on the sampled-positive budget
+    # only (torchvision roi_heads.py semantics; loss-exact, 4x less
+    # task-head work at default sampling ratios). False = the round-3
+    # behavior (task heads over ALL sampled RoIs) — kept as a measurable
+    # baseline for tools/probe_train.py --all-rois (VERDICT r4 #4)
+    task_heads_on_positives_only: bool = True
 
 
 class GeneralizedRCNN(nn.Module):
@@ -290,12 +296,15 @@ class GeneralizedRCNN(nn.Module):
             # loss-exact (the losses average over the SAME fg set) and cuts
             # the task-head + task-RoIAlign + target-projection work by
             # 1/positive_fraction (4x at torchvision defaults); measured
-            # step times in PERF.md "Round-4: training".
+            # step times in PERF.md "Round-5: training".
             # same floor expression as sample_balanced's n_pos_budget —
             # the sampler can never emit more positives than this
-            P = max(1, int(c.box_batch_size_per_image
-                           * c.box_positive_fraction))
-            P = min(P, S)
+            if c.task_heads_on_positives_only:
+                P = max(1, int(c.box_batch_size_per_image
+                               * c.box_positive_fraction))
+                P = min(P, S)
+            else:
+                P = S  # measurable pre-round-4 baseline (all sampled RoIs)
             # stable fg-first order: argsort(False<True) keeps sampler order
             pos_order = jnp.argsort(~fg, axis=1, stable=True)[:, :P]
             pos_boxes = jnp.take_along_axis(boxes, pos_order[..., None], 1)

@@ -33,7 +33,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 PEAK_BF16_TFLOPS = 197.0  # v5e MXU peak (bf16); int8 is 2x
 
 
-def make_setup(kind: str, bf16: bool = True):
+def make_setup(kind: str, bf16: bool = True, all_rois: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -43,8 +43,12 @@ def make_setup(kind: str, bf16: bool = True):
     )
 
     B, S, G = 4, 320, 4
-    model = (keypointrcnn_resnet50_fpn() if kind == "kp"
-             else maskrcnn_resnet50_fpn())
+    # all_rois=True: task heads over every sampled RoI (the pre-round-4
+    # baseline) instead of the positive budget — the before/after pair for
+    # the positive-budget win (VERDICT r4 #4)
+    overrides = {"task_heads_on_positives_only": not all_rois}
+    model = (keypointrcnn_resnet50_fpn(**overrides) if kind == "kp"
+             else maskrcnn_resnet50_fpn(**overrides))
     if bf16:
         inner = model.backbone.backbone.clone(dtype=jnp.bfloat16)
         fpn = model.backbone.clone(dtype=jnp.bfloat16, backbone=inner)
@@ -163,6 +167,9 @@ def main():
     ap.add_argument("--kind", default="kp", choices=("kp", "mask"))
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--no-bf16", action="store_true")
+    ap.add_argument("--all-rois", action="store_true",
+                    help="task heads over ALL sampled RoIs (pre-round-4 "
+                         "baseline) instead of the positive budget")
     ap.add_argument("--flops", action="store_true",
                     help="also count full-step FLOPs via XLA cost analysis "
                          "(lowers the graph on CPU) and report MFU")
@@ -174,7 +181,7 @@ def main():
 
     enable_compilation_cache()
     model, variables, images, targets, B = make_setup(
-        args.kind, bf16=not args.no_bf16)
+        args.kind, bf16=not args.no_bf16, all_rois=args.all_rois)
     params = variables["params"]
     other = {k: v for k, v in variables.items() if k != "params"}
 
@@ -207,8 +214,8 @@ def main():
         "task_branch": results["p4_full"] - results["p3_box_branch"],
     }
 
-    out = {"kind": args.kind, "batch": B, "stages_ms":
-           {k: round(v, 1) for k, v in results.items()},
+    out = {"kind": args.kind, "batch": B, "all_rois": args.all_rois,
+           "stages_ms": {k: round(v, 1) for k, v in results.items()},
            "deltas_ms": {k: round(v, 1) for k, v in deltas.items()}}
 
     if args.flops:
@@ -221,7 +228,7 @@ def main():
             "import jax, numpy as np; jax.config.update('jax_platforms','cpu')\n"
             "import sys; sys.path.insert(0, '.')\n"
             "from tools.probe_train import make_setup\n"
-            f"model, variables, images, targets, B = make_setup({args.kind!r}, bf16=False)\n"
+            f"model, variables, images, targets, B = make_setup({args.kind!r}, bf16=False, all_rois={args.all_rois})\n"
             "params = variables['params']\n"
             "other = {k: v for k, v in variables.items() if k != 'params'}\n"
             "def full(p):\n"
