@@ -156,3 +156,46 @@ def test_pipeline_quant_fallback_unsupported_components(tmp_path, monkeypatch,
     assert np.isfinite(np.asarray(out["scores"])).all()
     printed = capsys.readouterr().out
     assert "serving FLOAT" in printed
+
+
+def test_mobile_pipeline_quant_fallback_detector_unsupported(tmp_path,
+                                                             monkeypatch,
+                                                             capsys):
+    """The mobile keypoint factory's MBv3 trunk has no int8 path
+    (supports=("kp_head",)): selecting only the detector component under a
+    quant mode must serve FLOAT with a printed notice (ADVICE r4 #1/#2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from pets_face_recognition_tpu.engine.checkpoint import save_checkpoint
+    from pets_face_recognition_tpu.engine.train_state import TrainState
+    from pets_face_recognition_tpu.models.rcnn import (
+        mobile_net_v3_large_keypoint_rcnn,
+    )
+    from pets_face_recognition_tpu.utils import get_dict_wrapper
+
+    model = mobile_net_v3_large_keypoint_rcnn()
+    # 320x320 (the production serving size): at 64px the mobile pyramid has
+    # fewer anchors than the default rpn_pre_nms_top_n_test budget
+    imgs = jnp.zeros((1, 320, 320, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs, train=False)
+    state = TrainState.create(model.apply, {
+        "params": {"model": variables["params"]},
+        "batch_stats": {"model": variables.get("batch_stats", {})},
+    }, optax.sgd(0.1))
+    ckpt_dir = tmp_path / "checkpoints"
+    save_checkpoint(ckpt_dir, state, epoch=0)
+
+    monkeypatch.setenv("PFR_KEYPOINT_CKPT", str(ckpt_dir))
+    monkeypatch.setenv("PFR_KEYPOINT_ARCH", "mobile")
+    monkeypatch.setenv("PFR_QUANT_MODE", "calibrate")
+    monkeypatch.setenv("PFR_QUANT_COMPONENTS", "detector")
+    monkeypatch.setenv("PFR_QUANT_STATE", str(tmp_path / "qs.pkl"))
+    cfg = get_dict_wrapper("configs/pipelines.py")
+    fn = cfg.keypoint_pipeline()
+    out = fn(imgs)
+    assert np.isfinite(np.asarray(out["scores"])).all()
+    printed = capsys.readouterr().out
+    assert "serving FLOAT" in printed
