@@ -48,17 +48,29 @@ def compare(a: dict, b: dict) -> dict:
     worst_flip = None
     n_flipped_pairs = 0
     n_queries_with_flips = 0
+    gal_only_a: set = set()
+    gal_only_b: set = set()
     for q in shared:
         ga, gb = a[q]["gallery"], b[q]["gallery"]
-        if not np.array_equal(ga, gb):
-            report.setdefault("gallery_mismatch", []).append(q)
+        # the GALLERY cards also ride the detect pipeline, so quantization
+        # can change gallery membership exactly like query membership —
+        # compare scores over the by-name intersection and report the
+        # membership diff separately
+        ga_l, gb_l = [str(x) for x in ga], [str(x) for x in gb]
+        common = sorted(set(ga_l) & set(gb_l))
+        gal_only_a |= set(ga_l) - set(gb_l)
+        gal_only_b |= set(gb_l) - set(ga_l)
+        if not common:
             continue
-        inc = a[q]["include"] & b[q]["include"]
+        ia = [ga_l.index(n) for n in common]
+        ib = [gb_l.index(n) for n in common]
+        inc = a[q]["include"][ia] & b[q]["include"][ib]
         idx = np.nonzero(inc)[0]
         if len(idx) == 0:
             continue
-        s_f = a[q]["scores"][idx].astype(np.float64)
-        s_8 = b[q]["scores"][idx].astype(np.float64)
+        ga = ga[ia]
+        s_f = a[q]["scores"][ia][idx].astype(np.float64)
+        s_8 = b[q]["scores"][ib][idx].astype(np.float64)
         max_drift = max(max_drift, float(np.abs(s_f - s_8).max()))
         order_f = np.argsort(-s_f, kind="stable")
         order_8 = np.argsort(-s_8, kind="stable")
@@ -91,6 +103,8 @@ def compare(a: dict, b: dict) -> dict:
                 "float_gap": gmax,
             }
     report.update(
+        gallery_only_a=sorted(gal_only_a),
+        gallery_only_b=sorted(gal_only_b),
         max_score_drift=max_drift,
         n_flipped_pairs=n_flipped_pairs,
         n_queries_with_flips=n_queries_with_flips,
@@ -110,9 +124,10 @@ def main() -> int:
     report = compare(load_dump(args.dump_float), load_dump(args.dump_int8))
     report["drift_budget"] = args.drift_budget
     report["flip_budget"] = args.flip_budget
+    # membership (query/gallery only_a/only_b) is a SEPARATE contract —
+    # detection/validity flips, reported above, judged by the caller
     ok = (report["max_score_drift"] <= args.drift_budget
-          and report["max_flip_float_gap"] <= args.flip_budget
-          and not report.get("gallery_mismatch"))
+          and report["max_flip_float_gap"] <= args.flip_budget)
     report["contract"] = "NEAR-TIE-SAFE" if ok else "VIOLATED"
     print(json.dumps(report, indent=2))
     return 0 if ok else 1
