@@ -107,10 +107,12 @@ def build_pipeline(batch_size: int, image_size: int, bf16: bool = True,
 
     det_q = "int8" if (int8_detector and detector_kind == "resnet50") else None
     emb_q = "int8" if int8_embedder else None
-    # measured (PERF.md round 3): trunk 2344 / trunk+fpn 2460 / trunk+rpn 2491
-    # / full 1832 crops/s — fpn and rpn each WIN but their composition hits a
-    # remote-XLA scheduling pathology (+21 ms in the downstream RoI stages);
-    # "rpn" is the production scope until the compiler moves
+    # measured (PERF.md round 5 sweep, budgets 24/8): trunk 2422 / +fpn 2544
+    # / +rpn 2582 / full 1879 crops/s single-module — the fpn×rpn
+    # composition pathology is a cross-stage scheduling artifact of the
+    # remote compiler: with the detect graph SPLIT at the RoI boundary
+    # (--detect-split) full composes properly at **2758** and is the
+    # production scope; the split is auto-enabled for scope=full
     q_fpn = int8_detector_scope in ("fpn", "full")
     q_rpn = int8_detector_scope in ("rpn", "full")
     kp_q = "int8" if int8_kp_head else None
@@ -273,19 +275,23 @@ def main():
     parser.add_argument("--int8-detector", action="store_true",
                         help="int8 PTQ trunk for the resnet50 detector "
                              "backbone (models/quant.py; no-op for mobile)")
-    parser.add_argument("--detect-split", action="store_true",
+    parser.add_argument("--detect-split", action="store_true", default=None,
+                        dest="detect_split",
                         help="compile the detector as two XLA modules split "
-                             "at the RoI boundary (pathology probe: isolates "
-                             "the int8 producer chains from the RoI consumer "
-                             "stages; costs one dispatch + pyramid HBM "
-                             "round-trip)")
+                             "at the RoI boundary (defeats the remote "
+                             "compiler's cross-stage scheduling pathology "
+                             "for scope=full; costs one dispatch + pyramid "
+                             "HBM round-trip). Default: auto — ON for "
+                             "--int8-detector-scope full, OFF otherwise")
+    parser.add_argument("--no-detect-split", action="store_false",
+                        dest="detect_split")
     parser.add_argument("--int8-detector-scope",
                         choices=("trunk", "fpn", "rpn", "full"),
-                        default="rpn",
+                        default="full",
                         help="which detector stages run int8 under "
                              "--int8-detector: trunk only, trunk+FPN, "
-                             "trunk+RPN (default — fastest, see PERF.md), "
-                             "or all (regresses: XLA composition pathology)")
+                             "trunk+RPN, or all (default — fastest WITH the "
+                             "auto detect-split; round-5 sweep in PERF.md)")
     parser.add_argument("--int8-kp-head", dest="int8_kp_head",
                         action="store_true", default=True,
                         help="int8 PTQ for the keypoint head's 8-conv chain "
@@ -307,6 +313,12 @@ def main():
 
     import jax
 
+    if args.detect_split is None:
+        # auto: the RoI-boundary split is what makes scope=full compose
+        # (PERF.md round-5 sweep); everywhere else it just costs a seam
+        args.detect_split = (args.int8_detector
+                             and args.detector == "resnet50"
+                             and args.int8_detector_scope == "full")
     pipeline, images = build_pipeline(args.batch_size, args.image_size,
                                       bf16=not args.no_bf16,
                                       detector_kind=args.detector,
