@@ -2,7 +2,7 @@
 
 Gives `trainer.fit`'s hot loop the same rigor the serving path got: isolated
 fwd+bwd jits of cumulative stage prefixes of the Mask/Keypoint R-CNN train
-step (the PERF.md "isolated jits beat cumulative deltas" methodology), plus
+step (isolated jits per stage prefix rather than cumulative-delta subtraction; PERF.md "Timing on the axon backend"), plus
 an analytic-ish MFU estimate from XLA's own cost model (``cost_analysis()``
 of the CPU-lowered graph counts FLOPs; the TPU wall time divides into it).
 
