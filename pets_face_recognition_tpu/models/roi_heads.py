@@ -334,18 +334,58 @@ def postprocess_detections(
 # --------------------------------------------------------------------------- #
 
 
+def _axis_interp_weights(starts: jnp.ndarray, bins: jnp.ndarray, n: int,
+                         size: int, s: int = 2) -> jnp.ndarray:
+    """Per-RoI 1-D RoIAlign interpolation matrix ``(K, size, n)``.
+
+    RoIAlign's 2-D bilinear sampling factorizes exactly per axis: sample
+    positions are outer products of per-axis positions, bilinear weights are
+    ``wy·wx``, and every edge rule in ``ops/roi_align.py`` is per-axis —
+    out-of-range zeroing (``pos <= -1`` or ``>= n``), the ``clip(pos, 0)``
+    floor, and the top-edge collapse (a clipped position in ``(n-1, n)``
+    puts weight 1 on the last cell, which ``relu(1-|clip(pos)-h|)`` with a
+    two-sided clip reproduces). The s-sample mean folds into the matrix.
+    """
+    # sample positions per output cell: start + (i + (p+.5)/s) * bin
+    grid = (jnp.arange(size)[:, None]
+            + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)  # (size*s,)
+    pos = starts[:, None] + grid[None, :] * bins[:, None]       # (K, size*s)
+    oob = (pos <= -1.0) | (pos >= n)
+    pos = jnp.clip(pos, 0.0, n - 1.0)
+    cells = jnp.arange(n, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - cells))  # (K, size*s, n)
+    w = jnp.where(oob[..., None], 0.0, w)
+    return w.reshape(starts.shape[0], size, s, n).mean(axis=2)
+
+
 def project_masks_on_boxes(gt_masks: jnp.ndarray, boxes: jnp.ndarray,
                            matched_idx: jnp.ndarray, size: int = 28) -> jnp.ndarray:
     """Crop each matched GT mask to its proposal box at ``size×size``
-    (torchvision uses roi_align on the mask for this)."""
-    masks = gt_masks[matched_idx].astype(jnp.float32)[..., None]  # (K, H, W, 1)
-    pooled = roi_align(
-        masks, boxes, jnp.arange(boxes.shape[0], dtype=jnp.int32),
-        (size, size), spatial_scale=1.0, sampling_ratio=2, aligned=False,
-    )
-    # note: torchvision roi_aligns each mask against its own box with batch index
-    # = mask index; replicating via per-roi batch indices over the gathered masks.
-    return pooled[..., 0]
+    (torchvision roi_aligns the full-res mask against its own box,
+    sampling_ratio=2, aligned=False).
+
+    TPU design: the generic gather-based ``roi_align`` made this the
+    dominant cost of the mask train step (round-5 probe: 141.6 ms of a
+    184.3 ms step at B=4 — gathers over (K, H, W) full-res masks). Bilinear
+    sampling is LINEAR in the mask and factorizes per axis, so the exact
+    same numbers come from two batched interpolation matmuls
+    ``R_y @ M @ R_xᵀ`` (the ops/roi_align.py dense-einsum trick applied to
+    training); the GT gather folds into a one-hot matmul as well.
+    """
+    K = boxes.shape[0]
+    G, H, W = gt_masks.shape
+    x1, y1, x2, y2 = (boxes[:, i].astype(jnp.float32) for i in range(4))
+    # aligned=False: malformed rois forced to size >= 1 (ops/roi_align.py:92)
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    ry = _axis_interp_weights(y1, roi_h / size, H, size)  # (K, size, H)
+    rx = _axis_interp_weights(x1, roi_w / size, W, size)  # (K, size, W)
+    # one-hot matmul instead of a gather: (K, G) @ (G, H*W)
+    sel = jax.nn.one_hot(matched_idx, G, dtype=jnp.float32)
+    masks = (sel @ gt_masks.astype(jnp.float32).reshape(G, H * W)
+             ).reshape(K, H, W)
+    rows = jnp.einsum("kih,khw->kiw", ry, masks)
+    return jnp.einsum("kiw,kjw->kij", rows, rx)
 
 
 def maskrcnn_loss(mask_logits: jnp.ndarray, cls_targets: jnp.ndarray,

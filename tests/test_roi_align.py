@@ -88,3 +88,34 @@ def test_roi_align_shapes(rng):
     rois = jnp.asarray(rng.uniform(0, 8, (5, 4)).astype(np.float32))
     out = roi_align(feat, rois, jnp.zeros(5, jnp.int32), (14, 14), 1.0, 2)
     assert out.shape == (5, 14, 14, 4)
+
+
+def test_project_masks_dense_matches_gather_roi_align():
+    """The dense two-matmul mask projection (models/roi_heads.py round-5)
+    must reproduce the gather-based roi_align numbers exactly (bilinear
+    sampling factorizes per axis; edge rules included — boxes hang off
+    every image edge here)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pets_face_recognition_tpu.models.roi_heads import (
+        project_masks_on_boxes,
+    )
+    from pets_face_recognition_tpu.ops.roi_align import roi_align
+
+    rng = np.random.RandomState(0)
+    G, H, W, K, size = 4, 96, 80, 16, 28
+    masks = (rng.rand(G, H, W) > 0.5).astype(np.float32)
+    x1 = rng.uniform(-20, 70, K)
+    y1 = rng.uniform(-20, 80, K)
+    boxes = np.stack([x1, y1, x1 + rng.uniform(0.5, 60, K),
+                      y1 + rng.uniform(0.5, 60, K)], -1).astype(np.float32)
+    idx = rng.randint(0, G, K)
+
+    new = np.asarray(project_masks_on_boxes(
+        jnp.asarray(masks), jnp.asarray(boxes), jnp.asarray(idx), size))
+    old = np.asarray(roi_align(
+        jnp.asarray(masks)[idx][..., None], jnp.asarray(boxes),
+        jnp.arange(K, dtype=jnp.int32), (size, size),
+        spatial_scale=1.0, sampling_ratio=2, aligned=False))[..., 0]
+    np.testing.assert_allclose(new, old, atol=1e-6)
