@@ -109,6 +109,11 @@ def stage_losses(model, stage: str):
             anchors, level_ids, images.shape[1:3],
             c.rpn_pre_nms_top_n_train, c.rpn_post_nms_top_n_train,
             c.rpn_nms_thresh, num_levels=int(np.asarray(level_ids).max()) + 1)
+        if stage == "p2b_proposals":
+            # proposals are stop-grad: folding them in at 1e-20 forces the
+            # decode+NMS forward without changing the p2 backward, so
+            # (p2b - p2) isolates proposal generation
+            return sum(losses.values()) + 1e-20 * jnp.sum(proposals)
         keys = jax.random.split(box_rng, B)
         sample = jax.vmap(
             lambda p, pv, gb, gl, gv, k: rh.select_training_samples(
@@ -186,7 +191,8 @@ def main():
     other = {k: v for k, v in variables.items() if k != "params"}
 
     results = {}
-    for stage in ("p1_backbone_fpn", "p2_rpn", "p3_box_branch"):
+    for stage in ("p1_backbone_fpn", "p2_rpn", "p2b_proposals",
+                  "p3_box_branch"):
         run = stage_losses(model, stage)
 
         def fn(p, _run=run):
@@ -210,7 +216,9 @@ def main():
     deltas = {
         "backbone_fpn": results["p1_backbone_fpn"],
         "rpn_head_loss": results["p2_rpn"] - results["p1_backbone_fpn"],
-        "proposals_box": results["p3_box_branch"] - results["p2_rpn"],
+        "proposal_gen": results["p2b_proposals"] - results["p2_rpn"],
+        "sample_box_branch": (results["p3_box_branch"]
+                              - results["p2b_proposals"]),
         "task_branch": results["p4_full"] - results["p3_box_branch"],
     }
 
