@@ -14,6 +14,7 @@ TPU design notes:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -240,6 +241,78 @@ def multilevel_roi_align_dense(
         preferred_element_type=jnp.float32,
     )
     return out.reshape(K, oh, ow, C)
+
+
+def multilevel_roi_align_separable(
+    features: list[jnp.ndarray],
+    rois: jnp.ndarray,
+    roi_batch_idx: jnp.ndarray,
+    output_size: tuple[int, int],
+    strides: tuple[int, ...],
+    sampling_ratio: int = 2,
+    canonical_scale: float = 224.0,
+    canonical_level: int = 4,
+    min_level: int = 2,
+    max_level: int = 5,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Separable gather-free multilevel RoIAlign: ``Wy @ level @ Wxᵀ``.
+
+    Same numbers as :func:`multilevel_roi_align` via per-axis interpolation
+    matmuls (bilinear sampling factorizes exactly — the round-5 mask-target
+    projection trick, models/roi_heads.py). Unlike
+    :func:`multilevel_roi_align_dense`, the joint ``(K, oh·ow, ΣHW)``
+    sampling matrix is never built, so it scales to TRAINING pyramids
+    (p2 at 80×80: the dense form needs GBs, this needs ``(K·oh, B·H)`` and
+    ``(K·oh, W·C)`` intermediates). Being plain einsums it is exactly
+    differentiable by XLA autodiff — the training-path alternative to the
+    Pallas custom-VJP kernel (measured round-5: the Pallas fwd+bwd pair is
+    scratch/DMA-bound at 2048 RoIs × 5 levels).
+
+    The per-image selection folds into the row weights (``wy ×
+    one_hot(batch)``), making the row contraction ONE ``(K·oh, B·H) @
+    (B·H, W·C)`` matmul per level — no per-RoI feature materialization.
+    """
+    oh, ow = output_size
+    s = sampling_ratio
+    B, _, _, C = features[0].shape
+    K = rois.shape[0]
+
+    rois = rois.astype(jnp.float32)
+    lvl = roi_levels(rois, min_level, max_level, canonical_scale,
+                     canonical_level)
+    onehot_b = jax.nn.one_hot(roi_batch_idx, B, dtype=jnp.float32)  # (K, B)
+
+    iy = (jnp.arange(oh)[:, None]
+          + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)
+    ix = (jnp.arange(ow)[:, None]
+          + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)
+
+    out = jnp.zeros((K, oh, ow, C), jnp.float32)
+    for li, (f, stride) in enumerate(zip(features, strides)):
+        H, W = f.shape[1], f.shape[2]
+        boxes = rois / float(stride)
+        x1, y1 = boxes[:, 0], boxes[:, 1]
+        roi_w = jnp.maximum(boxes[:, 2] - x1, 1.0)
+        roi_h = jnp.maximum(boxes[:, 3] - y1, 1.0)
+        ys = y1[:, None] + iy[None, :] * (roi_h / oh)[:, None]
+        xs = x1[:, None] + ix[None, :] * (roi_w / ow)[:, None]
+        wy = _interp_weights(ys, H).reshape(K, oh, s, H).mean(axis=2)
+        wx = _interp_weights(xs, W).reshape(K, ow, s, W).mean(axis=2)
+        wy = wy * (lvl == li).astype(jnp.float32)[:, None, None]
+        # fold the image one-hot into the row weights: (K, oh, B, H)
+        wyb = (wy[:, :, None, :] * onehot_b[:, :, None][:, None]
+               ).reshape(K * oh, B * H)
+        rows = jax.lax.dot_general(
+            wyb.astype(compute_dtype),
+            f.reshape(B * H, W * C).astype(compute_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(K, oh, W, C)
+        out = out + jnp.einsum(
+            "kiwc,kjw->kijc", rows.astype(compute_dtype),
+            wx.astype(compute_dtype), preferred_element_type=jnp.float32)
+    return out
 
 
 def multilevel_roi_align(

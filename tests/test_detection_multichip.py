@@ -126,13 +126,14 @@ def test_sharded_detection_gradients_match_single_device(kind):
                for k, v in jax.tree_util.tree_leaves_with_path(grads_8d)}
     assert len(flat_1d) == len(flat_8d) > 0
     # identical math, different reduction order/partitioning → f32 noise.
-    # the keypoint recipe's heatmap CE softmaxes over 56*56=3136 spatial
-    # bins per RoI, so its backward accumulates ~10x the reduction noise of
-    # the mask path (measured: worst leaf dev 2.4e-5 at leaf max 0.03,
-    # i.e. 8e-4 of max, on <0.2% of elements; a real DP bug — per-shard
-    # sampler drift, a missing psum — shows as order-of-magnitude
-    # deviations across most leaves, far above this tolerance)
-    atol_scale = 1e-3 if kind == "keypoint" else 1e-4
+    # the separable train RoIAlign contracts over the GLOBAL batch·H axis
+    # ((K·oh, B·H) @ (B·H, W·C)), so under sharding that reduction runs as
+    # a psum across devices — legitimate f32 reorder noise on top of the
+    # keypoint recipe's 56*56=3136-bin softmax backward (measured: worst
+    # leaf dev 6.9e-5 at leaf max 0.067, ~1e-3 of max, on 1/512 elements;
+    # a real DP bug — per-shard sampler drift, a missing psum — shows as
+    # order-of-magnitude deviations across most leaves, far above this)
+    atol_scale = 2e-3 if kind == "keypoint" else 1e-4
     for key, g1 in flat_1d:
         g8 = flat_8d[jax.tree_util.keystr(key)]
         np.testing.assert_allclose(

@@ -123,6 +123,11 @@ def stage_losses(model, stage: str):
         boxes, cls_t, gt_idx, valid, fg = sample(
             proposals, prop_valid, targets["boxes"], targets["labels"],
             targets["valid"], keys)
+        if stage == "p2c_sampling":
+            # sampling outputs are index/box constants (no grad path), so
+            # (p2c - p2b) isolates IoU matrix + matcher + balanced sampler
+            return (sum(losses.values()) + 1e-20 * jnp.sum(boxes)
+                    + 1e-20 * jnp.sum(cls_t.astype(jnp.float32)))
         S = boxes.shape[1]
         boxes_flat = boxes.reshape(B * S, 4)
         batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), S)
@@ -192,7 +197,7 @@ def main():
 
     results = {}
     for stage in ("p1_backbone_fpn", "p2_rpn", "p2b_proposals",
-                  "p3_box_branch"):
+                  "p2c_sampling", "p3_box_branch"):
         run = stage_losses(model, stage)
 
         def fn(p, _run=run):
@@ -217,8 +222,9 @@ def main():
         "backbone_fpn": results["p1_backbone_fpn"],
         "rpn_head_loss": results["p2_rpn"] - results["p1_backbone_fpn"],
         "proposal_gen": results["p2b_proposals"] - results["p2_rpn"],
-        "sample_box_branch": (results["p3_box_branch"]
-                              - results["p2b_proposals"]),
+        "roi_sampling": results["p2c_sampling"] - results["p2b_proposals"],
+        "box_align_head": (results["p3_box_branch"]
+                           - results["p2c_sampling"]),
         "task_branch": results["p4_full"] - results["p3_box_branch"],
     }
 
